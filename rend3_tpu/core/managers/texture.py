@@ -1,0 +1,105 @@
+"""TextureManager (2D and cube instances).
+
+Reference: rend3/src/managers/texture.rs — slot vector of textures, bindless
+binding array, 1-based shader indices with 0 = null. The TPU equivalent of
+"bindless" is a mip-chained texture *atlas*: every 2D texture's full mip
+pyramid is packed into one (A, A, 4) float32 HBM array and sampled by
+gathers (ops/texture.py). Cube textures are stacked (N, 6, E, E, 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ...types.texture import Texture, TextureFormat, MipmapCount, MipmapSource
+
+__all__ = ["TextureManager", "InternalTexture"]
+
+
+def _decode_to_linear_f32(tex: Texture) -> np.ndarray:
+    """Convert uploaded bytes to linear float32 RGBA (EOTF for *-Srgb)."""
+    data = tex.data
+    if data.dtype == np.uint8:
+        f = data.astype(np.float32) / 255.0
+    else:
+        f = data.astype(np.float32)
+    if f.shape[-1] == 3:
+        f = np.concatenate([f, np.ones(f.shape[:-1] + (1,), np.float32)], axis=-1)
+    if tex.format.bgra:
+        f = f[..., [2, 1, 0, 3]]
+    if tex.format.srgb:
+        rgb = f[..., :3]
+        rgb = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+        f = np.concatenate([rgb, f[..., 3:]], axis=-1)
+    return f.astype(np.float32)
+
+
+def _mip_chain(img: np.ndarray, levels: int) -> List[np.ndarray]:
+    """2x2 box-filter mip chain (reference: rend3/shaders/mipmap.wgsl)."""
+    mips = [img]
+    cur = img
+    for _ in range(1, levels):
+        h, w = cur.shape[0], cur.shape[1]
+        nh, nw = max(1, h // 2), max(1, w // 2)
+        c = cur[: nh * 2, : nw * 2]
+        cur = c.reshape(nh, 2, nw, 2, 4).mean(axis=(1, 3))
+        mips.append(cur.astype(np.float32))
+    return mips
+
+
+@dataclass
+class InternalTexture:
+    size: Tuple[int, int]
+    mips: List[np.ndarray]
+
+
+class TextureManager:
+    """One instance per dimensionality (d2 / cube), like the reference."""
+
+    def __init__(self, kind: str = "d2"):
+        self.kind = kind
+        self.data: Dict[int, InternalTexture] = {}
+        self.dirty = True
+        self._device = None
+
+    def add(self, idx: int, tex: Texture) -> None:
+        f = _decode_to_linear_f32(tex)
+        if self.kind == "cube":
+            assert f.ndim == 4 and f.shape[0] == 6, "cube texture needs (6, H, W, 4) data"
+            self.data[idx] = InternalTexture(size=(f.shape[1], f.shape[2]), mips=[f])
+        else:
+            h, w = f.shape[0], f.shape[1]
+            if tex.mip_count == MipmapCount.MAXIMUM:
+                levels = int(max(h, w)).bit_length()
+            elif isinstance(tex.mip_count, int):
+                levels = tex.mip_count
+            else:
+                levels = 1
+            self.data[idx] = InternalTexture(size=(h, w), mips=_mip_chain(f, levels))
+        self.dirty = True
+
+    def remove(self, idx: int) -> None:
+        self.data.pop(idx, None)
+        self.dirty = True
+
+    def shader_index(self, handle) -> int:
+        """1-based shader index; 0 reserved for 'no texture'
+        (reference: texture.rs translation_fn)."""
+        return handle.idx + 1
+
+    def evaluate(self):
+        """Build/refresh the device texture arrays; see ops/texture.py."""
+        if not self.dirty and self._device is not None:
+            return self._device
+        from ...ops import texture as tex_ops
+
+        if self.kind == "cube":
+            self._device = tex_ops.build_cube_array(self.data)
+        else:
+            self._device = tex_ops.build_texture_atlas(self.data)
+        self.dirty = False
+        return self._device

@@ -1,0 +1,598 @@
+"""Deferred PBR shading over the visibility buffer.
+
+Behavioral port of the reference's forward fragment shading
+(rend3-routine/shaders/src/opaque.wgsl) re-designed as a *deferred* dense
+image-space pass: instead of shading per-draw fragments, every sample gathers
+its triangle's vertex data through the visibility buffer and the whole image
+is shaded as one vectorized computation (gathers + elementwise VPU math) —
+all material archetypes in one pass.
+
+Matched math:
+ - vertex stage varyings: view_position, view-space normal/tangent with
+   inverse-scale-squared correction (opaque.wgsl vs_main),
+ - material decode incl. all MaterialFlags branches (get_pixel_data_inner),
+ - Lambert diffuse + GGX/Smith/Schlick specular (surface_shading,
+   math/brdf.wgsl),
+ - directional lights with shadow-atlas PCF5 (shadow/pcf.wgsl) and the
+   reference's exact atlas border / bounds expressions,
+ - point light smooth-radius falloff,
+ - final max(ambient * albedo, shaded).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .raster import VisBuffer
+from .transform import ClippedTris
+
+__all__ = [
+    "MF",
+    "PbrMaterialTable",
+    "PBR_DATA_SIZE",
+    "DirLightArrays",
+    "PointLightArrays",
+    "FrameUniformsArrays",
+    "shade_deferred",
+    "srgb_scene_to_display",
+    "srgb_display_to_scene",
+]
+
+PI = 3.14159265358979
+
+
+class MF:
+    """MaterialFlags bit values (reference: rend3-routine/src/pbr/material.rs:11-31)."""
+
+    ALBEDO_ACTIVE = 1 << 0
+    ALBEDO_BLEND = 1 << 1
+    ALBEDO_VERTEX_SRGB = 1 << 2
+    BICOMPONENT_NORMAL = 1 << 3
+    SWIZZLED_NORMAL = 1 << 4
+    YDOWN_NORMAL = 1 << 5
+    AOMR_COMBINED = 1 << 6
+    AOMR_SWIZZLED_SPLIT = 1 << 7
+    AOMR_SPLIT = 1 << 8
+    AOMR_BW_SPLIT = 1 << 9
+    CC_GLTF_COMBINED = 1 << 10
+    CC_GLTF_SPLIT = 1 << 11
+    CC_BW_SPLIT = 1 << 12
+    UNLIT = 1 << 13
+    NEAREST = 1 << 14
+
+
+# ShaderMaterial float-data layout (reference struct: pbr/material.rs:526-583).
+PBR_UVT0 = 0          # 9 floats, row-major 3x3
+PBR_UVT1 = 9
+PBR_ALBEDO = 18       # 4
+PBR_EMISSIVE = 22     # 3
+PBR_ROUGHNESS = 25
+PBR_METALLIC = 26
+PBR_REFLECTANCE = 27
+PBR_CLEAR_COAT = 28
+PBR_CLEAR_COAT_ROUGHNESS = 29
+PBR_ANISOTROPY = 30
+PBR_AMBIENT_OCCLUSION = 31
+PBR_ALPHA_CUTOUT = 32
+PBR_DATA_SIZE = 33
+
+# Texture slot order (reference: PbrMaterial::to_textures, pbr/material.rs:497-510).
+TEX_ALBEDO, TEX_NORMAL, TEX_ROUGHNESS, TEX_METALLIC, TEX_REFLECTANCE = 0, 1, 2, 3, 4
+TEX_CLEAR_COAT, TEX_CLEAR_COAT_ROUGHNESS, TEX_EMISSIVE, TEX_ANISOTROPY, TEX_AO = 5, 6, 7, 8, 9
+
+
+class PbrMaterialTable(NamedTuple):
+    data: jnp.ndarray      # (M, PBR_DATA_SIZE) f32
+    flags: jnp.ndarray     # (M,) i32
+    textures: jnp.ndarray  # (M, 10) i32, 0 = none else 1-based texture index
+
+
+class DirLightArrays(NamedTuple):
+    """ShaderDirectionalLight SoA (reference: rend3/src/managers/directional.rs:38-54)."""
+
+    view_proj: jnp.ndarray       # (L, 4, 4)
+    color: jnp.ndarray           # (L, 3) color * intensity
+    direction: jnp.ndarray       # (L, 3)
+    inv_resolution: jnp.ndarray  # (L, 2) 1/atlas extent
+    atlas_offset: jnp.ndarray    # (L, 2) uv
+    atlas_size: jnp.ndarray      # (L, 2) uv
+    mask: jnp.ndarray            # (L,) bool
+
+
+class PointLightArrays(NamedTuple):
+    """ShaderPointLight SoA (reference: rend3/src/managers/point.rs)."""
+
+    position: jnp.ndarray  # (P, 3)
+    color: jnp.ndarray     # (P, 3) color * intensity
+    radius: jnp.ndarray    # (P,)
+    mask: jnp.ndarray      # (P,) bool
+
+
+class FrameUniformsArrays(NamedTuple):
+    """FrameUniforms (reference: rend3-routine/src/uniforms.rs:16-125)."""
+
+    view: jnp.ndarray                 # (4, 4)
+    view_proj: jnp.ndarray            # (4, 4)
+    origin_view_proj: jnp.ndarray     # (4, 4)
+    inv_view: jnp.ndarray             # (4, 4)
+    inv_origin_view_proj: jnp.ndarray  # (4, 4)
+    ambient: jnp.ndarray              # (4,)
+
+
+def srgb_display_to_scene(e):
+    """sRGB EOTF (reference: math/color.wgsl srgb_display_to_scene)."""
+    return jnp.where(e > 0.04045, ((e + 0.055) / 1.055) ** 2.4, e / 12.92)
+
+
+def srgb_scene_to_display(o):
+    """sRGB OETF. Uses the exact 1/2.4 exponent (hardware Rgba8UnormSrgb
+    behavior) rather than the shader's 0.4166 approximation, because the test
+    target stores through the hardware encoder."""
+    return jnp.where(o > 0.0031308, 1.055 * o ** (1.0 / 2.4) - 0.055, o * 12.92)
+
+
+def _flag(flags, bit):
+    return (flags & bit) != 0
+
+
+def _dot(a, b):
+    return (a * b).sum(axis=-1, keepdims=True)
+
+
+def _normalize(v, eps=0.0):
+    n = jnp.sqrt((v * v).sum(axis=-1, keepdims=True))
+    return v / jnp.where(n == 0.0, 1.0, n)
+
+
+def _saturate(v):
+    return jnp.clip(v, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# BRDF (reference: math/brdf.wgsl)
+# ---------------------------------------------------------------------------
+
+def brdf_d_ggx(noh, a):
+    a2 = a * a
+    f = (noh * a2 - noh) * noh + 1.0
+    return a2 / (PI * f * f)
+
+
+def brdf_f_schlick(u, f0, f90):
+    return f0 + (f90 - f0) * (1.0 - u) ** 5
+
+
+def brdf_v_smith_ggx_correlated(nov, nol, a):
+    a2 = a * a
+    ggxl = nov * jnp.sqrt((-nol * a2 + nol) * nol + a2)
+    ggxv = nol * jnp.sqrt((-nov * a2 + nov) * nov + a2)
+    return 0.5 / (ggxl + ggxv)
+
+
+def surface_shading(light_dir, intensity, normal, f0, roughness, diffuse_color, view_dir, occlusion):
+    """reference: opaque.wgsl surface_shading. All args (..., C)."""
+    n = normal
+    h = _normalize(view_dir + light_dir)
+
+    nov = jnp.abs(_dot(n, view_dir)) + 0.00001
+    nol = _saturate(_dot(n, light_dir))
+    noh = _saturate(_dot(n, h))
+    loh = _saturate(_dot(light_dir, h))
+
+    f90 = _saturate((f0 * (50.0 * 0.33)).sum(axis=-1, keepdims=True))
+
+    d = brdf_d_ggx(noh, roughness)
+    f = brdf_f_schlick(loh, f0, f90)
+    v = brdf_v_smith_ggx_correlated(nov, nol, roughness)
+
+    fr = (d * v) * f
+    fd = diffuse_color * (1.0 / PI)
+
+    color = fd + fr
+    return (color * intensity) * (nol * occlusion)
+
+
+# ---------------------------------------------------------------------------
+# Shadow PCF (reference: shadow/pcf.wgsl + linear GE comparison sampler)
+# ---------------------------------------------------------------------------
+
+def _sample_compare_bilinear(atlas, u_px, v_px, ref):
+    """textureSampleCompareLevel with a linear GreaterEqual comparison
+    sampler: compare each of the 4 bilinear texels then blend the 0/1 results.
+
+    atlas: (Ha, Wa) stored reverse-Z depth; u_px/v_px: (...,) texel-space
+    coordinates; ref: (...,) reference depth. Lit (1.0) where ref >= stored.
+    """
+    ha, wa = atlas.shape
+    xf = u_px - 0.5
+    yf = v_px - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fx = xf - x0
+    fy = yf - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def fetch(xi, yi):
+        xi = jnp.clip(xi, 0, wa - 1)
+        yi = jnp.clip(yi, 0, ha - 1)
+        return atlas[yi, xi]
+
+    c00 = (ref >= fetch(x0, y0)).astype(jnp.float32)
+    c10 = (ref >= fetch(x0 + 1, y0)).astype(jnp.float32)
+    c01 = (ref >= fetch(x0, y0 + 1)).astype(jnp.float32)
+    c11 = (ref >= fetch(x0 + 1, y0 + 1)).astype(jnp.float32)
+
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def shadow_sample_pcf5(atlas, coords_uv, ref):
+    """5-tap PCF cross (reference: shadow/pcf.wgsl:1-9).
+
+    coords_uv: (..., 2) atlas uv; ref: (...,) depth.
+    """
+    ha, wa = atlas.shape
+    u_px = coords_uv[..., 0] * wa
+    v_px = coords_uv[..., 1] * ha
+    total = _sample_compare_bilinear(atlas, u_px, v_px, ref)
+    for ox, oy in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        total = total + _sample_compare_bilinear(atlas, u_px + ox, v_px + oy, ref)
+    return total * 0.2
+
+
+# ---------------------------------------------------------------------------
+# Deferred shading
+# ---------------------------------------------------------------------------
+
+def _interp(corner_vals, bary):
+    """corner_vals: (N, 3, C), bary: (N, 3) -> (N, C)."""
+    return (corner_vals * bary[:, :, None]).sum(axis=1)
+
+
+def shade_deferred(
+    vis: VisBuffer,
+    ctris: ClippedTris,
+    tri_vlocal: jnp.ndarray,   # (T, 3) mesh-local vertex ids
+    tri_obj: jnp.ndarray,      # (T,) object ids
+    geo,                       # GeometryArrays (core.framestate)
+    obj_bases: jnp.ndarray,    # (O, n_attrs) i32 per-attribute arena bases (-1 missing)
+    model_view: jnp.ndarray,   # (O, 4, 4)
+    obj_material: jnp.ndarray,  # (O,) i32 material slot
+    materials: PbrMaterialTable,
+    dir_lights: DirLightArrays,
+    point_lights: PointLightArrays,
+    shadow_atlas: jnp.ndarray,  # (Ha, Wa) f32 reverse-Z depth
+    uniforms: FrameUniformsArrays,
+    width: int,
+    height: int,
+    sample_offsets,
+    textures=None,             # optional texture system (ops.texture.TextureArrays)
+    background: Optional[jnp.ndarray] = None,  # (S,H,W,4) or None -> transparent black
+) -> jnp.ndarray:
+    """Shade every sample; returns (S, H, W, 4) linear HDR RGBA."""
+    S = vis.tri.shape[0]
+    N = S * height * width
+
+    t = vis.tri.reshape(N)
+    hit = t >= 0
+    ts = jnp.maximum(t, 0)
+
+    # -- recompute barycentrics of the clipped tri at the sample position ----
+    cpos = ctris.clip[ts]      # (N, 3, 4)
+    bmat = ctris.bary[ts]      # (N, 3, 3)
+    orig = ctris.orig[ts]      # (N,)
+
+    inv_w = 1.0 / cpos[..., 3]
+    sx = (cpos[..., 0] * inv_w * 0.5 + 0.5) * width    # (N, 3)
+    sy = (0.5 - cpos[..., 1] * inv_w * 0.5) * height
+
+    # Sample-position grid matching the raster pass.
+    cols = jnp.arange(width, dtype=jnp.float32)
+    rows = jnp.arange(height, dtype=jnp.float32)
+    pxs, pys = [], []
+    for ox, oy in sample_offsets:
+        py, px = jnp.meshgrid(rows + oy, cols + ox, indexing="ij")
+        pxs.append(px)
+        pys.append(py)
+    px = jnp.stack(pxs).reshape(N)
+    py = jnp.stack(pys).reshape(N)
+
+    def edge(i, j):
+        return (sx[:, j] - sx[:, i]) * (py - sy[:, i]) - (sy[:, j] - sy[:, i]) * (px - sx[:, i])
+
+    e01, e12, e20 = edge(0, 1), edge(1, 2), edge(2, 0)
+    bar = jnp.stack([e12, e20, e01], axis=-1)  # (N, 3) screen-space
+    bsum = bar.sum(axis=-1, keepdims=True)
+    bar = bar / jnp.where(bsum == 0.0, 1.0, bsum)
+    pb = bar * inv_w
+    pb = pb / jnp.where(pb.sum(axis=-1, keepdims=True) == 0.0, 1.0, pb.sum(axis=-1, keepdims=True))
+    beta = jnp.einsum("nj,njk->nk", pb, bmat)  # barycentrics of the ORIGINAL tri
+
+    # -- gather vertex data ---------------------------------------------------
+    vloc = tri_vlocal[orig]        # (N, 3)
+    obj = jnp.maximum(tri_obj[orig], 0)  # (N,)
+    bases = obj_bases[obj]         # (N, n_attrs); ATTR_ORDER indexing
+
+    def gather_attr(arena, attr_idx, default):
+        base = bases[:, attr_idx]                       # (N,)
+        has = base >= 0
+        ids = jnp.clip(vloc + base[:, None], 0, arena.shape[0] - 1)
+        vals = arena[ids]                               # (N, 3, C)
+        dflt = jnp.asarray(default, jnp.float32)
+        return jnp.where(has[:, None, None], vals, dflt), has
+
+    mv = model_view[obj]           # (N, 4, 4)
+    mv3 = mv[:, :3, :3]
+
+    pos, _ = gather_attr(geo.position, 0, jnp.zeros(3))
+    model_pos = _interp(pos, beta)
+    view_pos = jnp.einsum("nab,nb->na", mv3, model_pos) + mv[:, :3, 3]
+
+    # inverse-scale-squared normal correction (math/matrix.wgsl): columns of
+    # the WGSL mat3 are mv3[:, :, i] in column-vector convention.
+    inv_scale_sq = 1.0 / jnp.maximum((mv3 * mv3).sum(axis=1), 1e-30)  # (N, 3)
+
+    nrm_m, _ = gather_attr(geo.normal, 1, jnp.zeros(3))
+    tan_m, _ = gather_attr(geo.tangent, 2, jnp.zeros(3))
+    nrm_v = jnp.einsum("nab,ncb->nca", mv3, nrm_m * inv_scale_sq[:, None, :])
+    tan_v = jnp.einsum("nab,ncb->nca", mv3, tan_m * inv_scale_sq[:, None, :])
+    nrm = _interp(_normalize(nrm_v), beta)   # per-corner normalize, then lerp
+    tan = _interp(_normalize(tan_v), beta)
+
+    uv0_c, _ = gather_attr(geo.uv0, 3, jnp.zeros(2))
+    uv1_c, _ = gather_attr(geo.uv1, 4, jnp.zeros(2))
+    col_c, _ = gather_attr(geo.color0, 5, jnp.ones(4))
+    uv0 = _interp(uv0_c, beta)
+    uv1 = _interp(uv1_c, beta)
+    vcol = _interp(col_c, beta)
+
+    # Analytic uv screen-space gradients for mip selection: d(uv)/d(pixel)
+    # from the chain rule on perspective barycentrics.
+    duv = _uv_gradients(sx, sy, inv_w, bmat, bar, pb, uv0_c) if textures is not None else None
+
+    # -- material decode ------------------------------------------------------
+    midx = obj_material[obj]
+    mdata = materials.data[midx]      # (N, D)
+    mflags = materials.flags[midx]    # (N,)
+    mtex = materials.textures[midx] if textures is not None else None
+
+    out_rgb, out_a = _shade_pixels(
+        mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
+        dir_lights, point_lights, shadow_atlas, uniforms,
+    )
+
+    rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
+    if background is None:
+        bg = jnp.zeros((N, 4), jnp.float32)
+    else:
+        bg = background.reshape(N, 4)
+    rgba = jnp.where(hit[:, None], rgba, bg)
+    return rgba.reshape(S, height, width, 4)
+
+
+def _uv_gradients(sx, sy, inv_w, bmat, bar, pb, uv_corners):
+    """Approximate duv/dx, duv/dy via finite differences of the perspective
+    barycentrics (one extra evaluation per axis). Returns (N, 2, 2)."""
+    # Cheap approximation: linearized gradient of screen barycentrics.
+    # d(lambda)/dx for the screen-space barycentrics of a triangle with
+    # corners (sx, sy): constant over the triangle.
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    area2 = jnp.where(area2 == 0.0, 1.0, area2)
+    dl_dx = jnp.stack([(y1 - y2), (y2 - y0), (y0 - y1)], axis=-1) / area2[:, None]
+    dl_dy = jnp.stack([(x2 - x1), (x0 - x2), (x1 - x0)], axis=-1) / area2[:, None]
+    # Perspective correction at the current point (first-order).
+    wsum = (bar * inv_w).sum(axis=-1, keepdims=True)
+    wsum = jnp.where(wsum == 0.0, 1.0, wsum)
+    db_dx = (dl_dx * inv_w - pb * (dl_dx * inv_w).sum(-1, keepdims=True)) / wsum
+    db_dy = (dl_dy * inv_w - pb * (dl_dy * inv_w).sum(-1, keepdims=True)) / wsum
+    duv_dx = jnp.einsum("nj,njk->nk", db_dx, uv_corners)
+    duv_dy = jnp.einsum("nj,njk->nk", db_dy, uv_corners)
+    return jnp.stack([duv_dx, duv_dy], axis=1)
+
+
+def _shade_pixels(
+    mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
+    dir_lights: DirLightArrays, point_lights: PointLightArrays,
+    shadow_atlas, uniforms: FrameUniformsArrays,
+):
+    """The get_pixel_data + lighting-loop body over flat (N,) pixels."""
+    N = mdata.shape[0]
+
+    uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
+    coords = jnp.einsum("nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1))[:, :2]
+
+    def sample(slot, srgb=False, default=1.0):
+        if textures is None or mtex is None:
+            return None
+        from . import texture as tex_ops
+        return tex_ops.sample_textures(textures, mtex[:, slot], coords, duv, mflags)
+
+    # --- albedo (opaque.wgsl get_pixel_data_inner) ---
+    albedo = jnp.ones((N, 4), jnp.float32)
+    tex_albedo = sample(TEX_ALBEDO)
+    if tex_albedo is not None:
+        has_tex = (mtex[:, TEX_ALBEDO] != 0)[:, None]
+        albedo = jnp.where(has_tex, tex_albedo, albedo)
+    blend_col = jnp.where(
+        _flag(mflags, MF.ALBEDO_VERTEX_SRGB)[:, None],
+        jnp.concatenate([srgb_display_to_scene(vcol[:, :3]), vcol[:, 3:]], axis=-1),
+        vcol,
+    )
+    albedo = jnp.where(_flag(mflags, MF.ALBEDO_BLEND)[:, None], albedo * blend_col, albedo)
+    albedo = jnp.where(
+        _flag(mflags, MF.ALBEDO_ACTIVE)[:, None],
+        albedo,
+        jnp.array([0.0, 0.0, 0.0, 1.0]),
+    )
+    albedo = albedo * mdata[:, PBR_ALBEDO:PBR_ALBEDO + 4]
+
+    # --- normals ---
+    normal = _normalize(nrm)
+    tex_normal = sample(TEX_NORMAL)
+    if tex_normal is not None:
+        has_tex = mtex[:, TEX_NORMAL] != 0
+        bicomp2 = jnp.where(
+            _flag(mflags, MF.SWIZZLED_NORMAL)[:, None],
+            jnp.stack([tex_normal[:, 3], tex_normal[:, 1]], axis=-1),
+            tex_normal[:, :2],
+        ) * 2.0 - 1.0
+        bz = jnp.sqrt(jnp.maximum(1.0 - (bicomp2 ** 2).sum(-1, keepdims=True), 0.0))
+        n_bi = jnp.concatenate([bicomp2, bz], axis=-1)
+        n_tri = _normalize(tex_normal[:, :3] * 2.0 - 1.0)
+        n_tex = jnp.where(_flag(mflags, MF.BICOMPONENT_NORMAL)[:, None], n_bi, n_tri)
+        n_tex = n_tex * jnp.where(
+            _flag(mflags, MF.YDOWN_NORMAL)[:, None], jnp.array([1.0, -1.0, 1.0]), jnp.ones(3)
+        )
+        t_norm = _normalize(tan)
+        bitangent = jnp.cross(normal, t_norm)
+        mapped = (
+            t_norm * n_tex[:, 0:1] + bitangent * n_tex[:, 1:2] + normal * n_tex[:, 2:3]
+        )
+        normal = jnp.where(has_tex[:, None], _normalize(mapped), normal)
+
+    # --- AO / metallic / roughness (three packing modes) ---
+    base_ao = mdata[:, PBR_AMBIENT_OCCLUSION:PBR_AMBIENT_OCCLUSION + 1]
+    base_rough = mdata[:, PBR_ROUGHNESS:PBR_ROUGHNESS + 1]
+    base_metal = mdata[:, PBR_METALLIC:PBR_METALLIC + 1]
+    ao, rough, metal = base_ao, base_rough, base_metal
+    tex_rough = sample(TEX_ROUGHNESS)
+    tex_metal = sample(TEX_METALLIC)
+    tex_ao = sample(TEX_AO)
+    if tex_rough is not None:
+        has_r = (mtex[:, TEX_ROUGHNESS] != 0)[:, None]
+        has_m = (mtex[:, TEX_METALLIC] != 0)[:, None]
+        has_a = (mtex[:, TEX_AO] != 0)[:, None]
+        combined = _flag(mflags, MF.AOMR_COMBINED)[:, None]
+        bw_split = _flag(mflags, MF.AOMR_BW_SPLIT)[:, None]
+        swz = _flag(mflags, MF.AOMR_SWIZZLED_SPLIT)[:, None]
+        # combined: aomr = rough_tex; ao=r, rough=g, metal=b
+        ao_c = jnp.where(has_r, base_ao * tex_rough[:, 0:1], base_ao)
+        ro_c = jnp.where(has_r, base_rough * tex_rough[:, 1:2], base_rough)
+        me_c = jnp.where(has_r, base_metal * tex_rough[:, 2:3], base_metal)
+        # bw split: each from own texture's r
+        ro_b = jnp.where(has_r, base_rough * tex_rough[:, 0:1], base_rough)
+        me_b = jnp.where(has_m, base_metal * tex_metal[:, 0:1], base_metal)
+        ao_b = jnp.where(has_a, base_ao * tex_ao[:, 0:1], base_ao)
+        # split / swizzled split: rm from rough tex rg or gb; ao from ao tex r
+        rm_r = jnp.where(swz, tex_rough[:, 1:2], tex_rough[:, 0:1])
+        rm_m = jnp.where(swz, tex_rough[:, 2:3], tex_rough[:, 1:2])
+        ro_s = jnp.where(has_r, base_rough * rm_r, base_rough)
+        me_s = jnp.where(has_r, base_metal * rm_m, base_metal)
+        ao_s = jnp.where(has_a, base_ao * tex_ao[:, 0:1], base_ao)
+        ao = jnp.where(combined, ao_c, jnp.where(bw_split, ao_b, ao_s))
+        rough = jnp.where(combined, ro_c, jnp.where(bw_split, ro_b, ro_s))
+        metal = jnp.where(combined, me_c, jnp.where(bw_split, me_b, me_s))
+
+    # --- reflectance / clearcoat / emissive ---
+    reflectance = mdata[:, PBR_REFLECTANCE:PBR_REFLECTANCE + 1]
+    tex_refl = sample(TEX_REFLECTANCE)
+    if tex_refl is not None:
+        has_t = (mtex[:, TEX_REFLECTANCE] != 0)[:, None]
+        reflectance = jnp.where(has_t, reflectance * tex_refl[:, 0:1], reflectance)
+
+    clear_coat = mdata[:, PBR_CLEAR_COAT:PBR_CLEAR_COAT + 1]
+    cc_rough = mdata[:, PBR_CLEAR_COAT_ROUGHNESS:PBR_CLEAR_COAT_ROUGHNESS + 1]
+    tex_cc = sample(TEX_CLEAR_COAT)
+    tex_ccr = sample(TEX_CLEAR_COAT_ROUGHNESS)
+    if tex_cc is not None:
+        has_cc = (mtex[:, TEX_CLEAR_COAT] != 0)[:, None]
+        has_ccr = (mtex[:, TEX_CLEAR_COAT_ROUGHNESS] != 0)[:, None]
+        gltf_combined = _flag(mflags, MF.CC_GLTF_COMBINED)[:, None]
+        gltf_split = _flag(mflags, MF.CC_GLTF_SPLIT)[:, None]
+        cc_comb = jnp.where(has_cc, clear_coat * tex_cc[:, 0:1], clear_coat)
+        ccr_comb = jnp.where(has_cc, cc_rough * tex_cc[:, 1:2], cc_rough)
+        cc_sep = jnp.where(has_cc, clear_coat * tex_cc[:, 0:1], clear_coat)
+        ccr_src = jnp.where(gltf_split, tex_ccr[:, 1:2], tex_ccr[:, 0:1])
+        ccr_sep = jnp.where(has_ccr, cc_rough * ccr_src, cc_rough)
+        clear_coat = jnp.where(gltf_combined, cc_comb, cc_sep)
+        cc_rough = jnp.where(gltf_combined, ccr_comb, ccr_sep)
+
+    emissive = mdata[:, PBR_EMISSIVE:PBR_EMISSIVE + 3]
+    tex_emis = sample(TEX_EMISSIVE)
+    if tex_emis is not None:
+        has_t = (mtex[:, TEX_EMISSIVE] != 0)[:, None]
+        emissive = jnp.where(has_t, emissive * tex_emis[:, :3], emissive)
+
+    # --- derived quantities ---
+    diffuse_color = albedo[:, :3] * (1.0 - metal)
+    dielectric_f0 = 0.16 * reflectance * reflectance
+    f0 = albedo[:, :3] * metal + dielectric_f0 * (1.0 - metal)
+
+    has_cc_f = clear_coat != 0.0
+    base_pr = jnp.maximum(rough, cc_rough)
+    rough = jnp.where(has_cc_f, rough + (base_pr - rough) * clear_coat, rough)
+    roughness = rough * rough
+
+    # --- lighting ---
+    v = -_normalize(view_pos)
+    view3 = uniforms.view[:3, :3]
+
+    color = emissive
+    # Directional lights with shadows. Static loop over capacity; masked.
+    L = dir_lights.mask.shape[0]
+    view_pos4 = jnp.concatenate([view_pos, jnp.ones((N, 1))], axis=-1)
+    world_pos4 = view_pos4 @ uniforms.inv_view.T
+    for i in range(L):
+        vp = dir_lights.view_proj[i]
+        shadow_ndc = (world_pos4 @ vp.T)[:, :3]
+        shadow_flipped = shadow_ndc[:, :2] * 0.5 + 0.5
+        shadow_local = jnp.stack([shadow_flipped[:, 0], 1.0 - shadow_flipped[:, 1]], axis=-1)
+
+        top_left = dir_lights.atlas_offset[i]
+        top_right = top_left + dir_lights.atlas_size[i]
+        shadow_coords = top_left + (top_right - top_left) * shadow_local
+        border = dir_lights.inv_resolution[i] * 1.5
+        tl_b = top_left + border
+        tr_b = top_right - border
+
+        # NOTE: reference uses any() here, reproduced for parity (opaque.wgsl).
+        in_bounds = (
+            (shadow_flipped >= tl_b[None]).any(axis=-1)
+            & (shadow_flipped <= tr_b[None]).any(axis=-1)
+            & (shadow_ndc[:, 2] >= 0.0)
+            & (shadow_ndc[:, 2] <= 1.0)
+        )
+        pcf = shadow_sample_pcf5(shadow_atlas, shadow_coords, shadow_ndc[:, 2])
+        shadow_value = jnp.where(in_bounds, pcf, 1.0)[:, None]
+
+        l = _normalize((view3 @ (-dir_lights.direction[i]))[None, :])
+        contrib = surface_shading(
+            jnp.broadcast_to(l, view_pos.shape), dir_lights.color[i][None],
+            normal, f0, roughness, diffuse_color, v, shadow_value * ao,
+        )
+        color = color + jnp.where(dir_lights.mask[i], contrib, 0.0)
+
+    P = point_lights.mask.shape[0]
+    for i in range(P):
+        lp4 = jnp.concatenate([point_lights.position[i], jnp.ones(1)])
+        delta = (uniforms.view @ lp4)[:3][None] - view_pos
+        d = jnp.sqrt((delta * delta).sum(-1, keepdims=True))
+        s = _saturate(d / point_lights.radius[i])
+        s2 = s * s
+        inv_s2 = 1.0 - s2
+        att = inv_s2 * inv_s2 / (1.0 + s2)
+        intensity = point_lights.color[i][None] * att
+        l = delta / jnp.where(d == 0.0, 1.0, d)
+        contrib = jnp.maximum(
+            surface_shading(l, intensity, normal, f0, roughness, diffuse_color, v, ao), 0.0
+        )
+        color = color + jnp.where(point_lights.mask[i], contrib, 0.0)
+
+    ambient = uniforms.ambient[None] * albedo
+    shaded_rgb = color
+    shaded_a = albedo[:, 3:4]
+
+    lit_rgb = jnp.maximum(ambient[:, :3], shaded_rgb)
+    lit_a = jnp.maximum(ambient[:, 3:4], shaded_a)
+
+    unlit = _flag(mflags, MF.UNLIT)[:, None]
+    out_rgb = jnp.where(unlit, albedo[:, :3], lit_rgb)
+    out_a = jnp.where(unlit, albedo[:, 3:4], lit_a)
+    return out_rgb, out_a

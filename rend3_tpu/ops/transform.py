@@ -1,0 +1,166 @@
+"""Vertex transform and near-plane clipping.
+
+The GPU pipeline's vertex stage + primitive clipping, re-designed for XLA:
+everything is a dense batched matmul / gather over the triangle table, with
+static shapes (clipping expands each triangle into at most 3 output slots
+instead of emitting a variable-length stream).
+
+Reference behavior being matched: wgpu clip volume 0 <= z <= w with reverse-Z
+depth; the vertex stage itself is opaque.wgsl vs_main
+(rend3-routine/shaders/src/opaque.wgsl).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ClippedTris", "object_uniforms", "gather_tri_clip", "clip_triangles"]
+
+W_EPS = 1e-6
+
+
+class ClippedTris(NamedTuple):
+    """Post-clip triangle table (static capacity = 3x input).
+
+    clip:  (T', 3, 4) clip-space corner positions
+    orig:  (T',) index of the source triangle in the pre-clip table
+    bary:  (T', 3, 3) each clipped corner as barycentrics of the source tri
+    valid: (T',) bool
+    """
+
+    clip: jnp.ndarray
+    orig: jnp.ndarray
+    bary: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def object_uniforms(transforms: jnp.ndarray, view: jnp.ndarray, proj: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-object model_view and model_view_proj (the uniform-prep pass,
+    reference: rend3-routine/shaders/src/uniform_prep.wgsl:9-27).
+
+    transforms: (O, 4, 4); view, proj: (4, 4) -> ((O,4,4), (O,4,4))
+    """
+    model_view = jnp.einsum("ab,obc->oac", view, transforms)
+    model_view_proj = jnp.einsum("ab,obc->oac", proj, model_view)
+    return model_view, model_view_proj
+
+
+def gather_tri_clip(
+    positions: jnp.ndarray,  # (V, 3) position arena
+    tri_vlocal: jnp.ndarray,  # (T, 3) int32 mesh-local vertex ids
+    tri_obj: jnp.ndarray,    # (T,) int32 object ids (-1 invalid)
+    base_position: jnp.ndarray,  # (O,) int32 per-object position arena base
+    mvp: jnp.ndarray,        # (O, 4, 4)
+) -> jnp.ndarray:
+    """Gather corner positions (mesh-local index + per-object arena base,
+    mirroring the reference's vertex_attribute_start_offsets) and transform to
+    clip space: (T, 3, 4)."""
+    obj = jnp.maximum(tri_obj, 0)
+    ids = tri_vlocal + base_position[obj][:, None]
+    ids = jnp.clip(ids, 0, positions.shape[0] - 1)
+    p = positions[ids]                                     # (T, 3, 3)
+    p4 = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1)  # (T,3,4)
+    m = mvp[obj]                                           # (T, 4, 4)
+    return jnp.einsum("tab,tcb->tca", m, p4)               # clip = M @ p per corner
+
+
+def _clip_one_plane(verts, bary, count, plane_fn):
+    """Sutherland-Hodgman step against one plane for a polygon of up to 4
+    verts stored in fixed 5-slot buffers. Vectorized over the leading axis.
+
+    verts: (T, 5, 4), bary: (T, 5, 3), count: (T,) int32 in [0, 4]
+    plane_fn(v) >= 0 means inside.
+    """
+    T = verts.shape[0]
+    MAXV = verts.shape[1]  # 5
+
+    d = plane_fn(verts)  # (T, 5)
+    inside = d >= 0.0
+
+    out_v = jnp.zeros_like(verts)
+    out_b = jnp.zeros_like(bary)
+    out_n = jnp.zeros_like(count)
+
+    # Walk the polygon edges. Every slot is processed; masks gate writes.
+    def body(i, state):
+        out_v, out_b, out_n = state
+        j = jnp.where(i + 1 < count, i + 1, 0)  # next vertex (wrap at count)
+        live = i < count
+
+        vi = verts[jnp.arange(T), i]
+        vj = jnp.take_along_axis(verts, j[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        bi = bary[jnp.arange(T), i]
+        bj = jnp.take_along_axis(bary, j[:, None, None].repeat(3, -1), axis=1)[:, 0]
+        di = d[jnp.arange(T), i]
+        dj = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        ini = inside[jnp.arange(T), i]
+        inj = jnp.take_along_axis(inside, j[:, None], axis=1)[:, 0]
+
+        # Emit current vertex if inside.
+        emit_cur = live & ini
+        idx = out_n
+        out_v = _masked_set(out_v, idx, vi, emit_cur)
+        out_b = _masked_set(out_b, idx, bi, emit_cur)
+        out_n = out_n + emit_cur.astype(out_n.dtype)
+
+        # Emit intersection if the edge crosses the plane.
+        crosses = live & (ini != inj)
+        t = di / jnp.where(jnp.abs(di - dj) < 1e-30, 1e-30, di - dj)
+        v_int = vi + (vj - vi) * t[:, None]
+        b_int = bi + (bj - bi) * t[:, None]
+        idx = out_n
+        out_v = _masked_set(out_v, idx, v_int, crosses)
+        out_b = _masked_set(out_b, idx, b_int, crosses)
+        out_n = out_n + crosses.astype(out_n.dtype)
+        return out_v, out_b, out_n
+
+    out_v, out_b, out_n = jax.lax.fori_loop(0, MAXV - 1, body, (out_v, out_b, out_n))
+    return out_v, out_b, out_n
+
+
+def _masked_set(buf, idx, val, mask):
+    """buf: (T, S, C); write val (T, C) at slot idx (T,) where mask."""
+    T, S, C = buf.shape
+    onehot = (jnp.arange(S)[None, :] == idx[:, None]) & mask[:, None]  # (T, S)
+    return jnp.where(onehot[:, :, None], val[:, None, :], buf)
+
+
+def clip_triangles(clip: jnp.ndarray, tri_valid: jnp.ndarray) -> ClippedTris:
+    """Clip each triangle against w >= eps and the reverse-Z near plane
+    (w - z >= 0), emitting a triangle fan of <= 3 triangles per input into a
+    3x static table.
+
+    clip: (T, 3, 4); tri_valid: (T,) bool
+    """
+    T = clip.shape[0]
+    # 5-slot polygon buffers (3 verts + up to 2 plane intersections over 2 planes
+    # never exceeds 5 simultaneously live vertices).
+    verts = jnp.concatenate([clip, jnp.zeros((T, 2, 4), clip.dtype)], axis=1)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=clip.dtype), (T, 3, 3))
+    bary = jnp.concatenate([eye3, jnp.zeros((T, 2, 3), clip.dtype)], axis=1)
+    count = jnp.where(tri_valid, 3, 0).astype(jnp.int32)
+
+    verts, bary, count = _clip_one_plane(verts, bary, count, lambda v: v[..., 3] - W_EPS)
+    verts, bary, count = _clip_one_plane(verts, bary, count, lambda v: v[..., 3] - v[..., 2])
+
+    # Fan-triangulate: (0, k+1, k+2) for k in 0..2.
+    outs_v, outs_o, outs_b, outs_m = [], [], [], []
+    orig_ids = jnp.arange(T, dtype=jnp.int32)
+    for k in range(3):
+        ok = count >= (k + 3)
+        tri_v = jnp.stack([verts[:, 0], verts[:, k + 1], verts[:, k + 2]], axis=1)
+        tri_b = jnp.stack([bary[:, 0], bary[:, k + 1], bary[:, k + 2]], axis=1)
+        outs_v.append(tri_v)
+        outs_b.append(tri_b)
+        outs_o.append(orig_ids)
+        outs_m.append(ok)
+
+    return ClippedTris(
+        clip=jnp.concatenate(outs_v, axis=0),
+        orig=jnp.concatenate(outs_o, axis=0),
+        bary=jnp.concatenate(outs_b, axis=0),
+        valid=jnp.concatenate(outs_m, axis=0),
+    )

@@ -1,0 +1,498 @@
+"""BaseRenderGraph: the canonical frame, compiled to one XLA program.
+
+Reference: rend3-routine/src/base.rs — clear shadows -> uniforms -> skinning
+-> shadow passes -> depth+forward passes -> skybox -> transparents ->
+tonemapping. The TPU redesign collapses the node graph into a single jitted
+frame function per static configuration (resolution, samples, shadow plan,
+handedness, texture presence): XLA's fusion/DCE/buffer-reuse subsumes the
+reference graph's dead-node elimination and transient-texture aliasing.
+
+Host-side per frame: triangle-table refresh (topology changes only), frustum
+culling masks (the CpuDriven-profile object cull, batching.rs:120-135),
+back-to-front blend sorting, uniform matrices. Device-side: everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.framestate import ATTR_ORDER
+from ..core.renderer import InstructionEvaluationOutput, Renderer
+from ..ops import blit as blit_ops
+from ..ops import raster as raster_ops
+from ..ops import shade as shade_ops
+from ..ops import skin as skin_ops
+from ..ops import transform as transform_ops
+from ..types import Handedness
+from ..types.material import SortingOrder
+
+__all__ = ["BaseRenderGraph", "BaseRenderGraphSettings", "FrameRenderTarget"]
+
+
+@dataclass(frozen=True)
+class BaseRenderGraphSettings:
+    """reference: base.rs:94-98."""
+
+    ambient_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class FrameRenderTarget:
+    width: int
+    height: int
+    samples: int = 1  # 1 or 4
+
+
+def _pad_pow2(n: int, minimum: int = 16) -> int:
+    c = minimum
+    while c < n:
+        c *= 2
+    return c
+
+
+class BaseRenderGraph:
+    def __init__(self, renderer: Renderer):
+        self.renderer = renderer
+        self._program_cache: Dict[tuple, object] = {}
+        self._tri_cache = None  # (opaque np (T,4), blend items)
+
+    # -- host-side frame assembly ----------------------------------------------
+
+    def render_frame(
+        self,
+        eval_output: InstructionEvaluationOutput,
+        target: FrameRenderTarget,
+        settings: BaseRenderGraphSettings = BaseRenderGraphSettings(),
+        skybox_slot: Optional[int] = None,
+    ) -> np.ndarray:
+        """Renders and returns an (H, W, 4) u8 sRGB image."""
+        r = self.renderer
+        om = r.object_manager
+        cam = r.camera
+
+        # Triangle tables (topology changes only).
+        if om.topology_dirty or self._tri_cache is None:
+            self._tri_cache = om.build_tri_tables(r.mesh_manager)
+            om.topology_dirty = False
+        opaque, blend_items = self._tri_cache
+
+        ocap = _pad_pow2(om.cap)
+        tcap = _pad_pow2(max(1, len(opaque)))
+        tri_vlocal = np.zeros((tcap, 3), dtype=np.int32)
+        tri_obj = np.full(tcap, -1, dtype=np.int32)
+        if len(opaque):
+            tri_vlocal[: len(opaque)] = opaque[:, :3]
+            tri_obj[: len(opaque)] = opaque[:, 3]
+
+        # Blend triangles: per-object back-to-front distance sort each frame
+        # (reference: batching.rs sort-key distance ordering for BLENDING).
+        cam_loc = cam.location()
+        blend_parts = []
+        if blend_items:
+            keyed = []
+            for tris, oidx in blend_items:
+                center = om.world_spheres[oidx, :3]
+                dist = float(np.linalg.norm(center - cam_loc))
+                keyed.append((dist, tris, oidx))
+            keyed.sort(key=lambda k: -k[0])  # far first
+            for _, tris, oidx in keyed:
+                blend_parts.append(
+                    np.concatenate([tris, np.full((len(tris), 1), oidx, dtype=np.int32)], axis=1)
+                )
+        blend = (
+            np.concatenate(blend_parts, axis=0).astype(np.int32)
+            if blend_parts
+            else np.zeros((0, 4), dtype=np.int32)
+        )
+        bcap = _pad_pow2(max(1, len(blend)), minimum=4)
+        blend_vlocal = np.zeros((bcap, 3), dtype=np.int32)
+        blend_obj = np.full(bcap, -1, dtype=np.int32)
+        if len(blend):
+            blend_vlocal[: len(blend)] = blend[:, :3]
+            blend_obj[: len(blend)] = blend[:, 3]
+
+        # Object tables + frustum culling masks (host, vectorized numpy).
+        transforms = np.zeros((ocap, 4, 4), dtype=np.float32)
+        transforms[:, range(4), range(4)] = 1.0
+        transforms[: om.cap] = om.transforms
+        bases = np.full((ocap, len(ATTR_ORDER)), -1, dtype=np.int32)
+        bases[: om.cap] = om.bases
+        material_slots = np.zeros(ocap, dtype=np.int32)
+        material_slots[: om.cap] = om.material_slots
+
+        enabled = np.zeros(ocap, dtype=bool)
+        enabled[: om.cap] = om.enabled
+        visible = enabled.copy()
+        visible[: om.cap] &= cam.world_frustum.contains_spheres(om.world_spheres)
+
+        plan = eval_output.shadow_plan
+        shadow_visible = np.zeros((max(1, len(plan)), ocap), dtype=bool)
+        for k, (li, off, sz) in enumerate(plan):
+            sc = eval_output.shadow_cameras[li]
+            shadow_visible[k, : om.cap] = om.enabled & sc.world_frustum.contains_spheres(om.world_spheres)
+
+        # Material tables (single archetype for the frame program; the PBR
+        # archetype is ensured so empty scenes have a table).
+        from .pbr.material import PbrMaterial
+
+        r.material_manager.ensure_archetype(PbrMaterial)
+        arch_names = [n for n, a in r.material_manager.archetypes.items() if a.next_slot > 0]
+        if len(arch_names) > 1:
+            raise NotImplementedError("multiple material archetypes per frame not yet supported")
+        arch = arch_names[0] if arch_names else "PbrMaterial"
+        mat_data, mat_flags, mat_tex = r.material_manager.evaluate(arch)
+
+        textures = None
+        if len(r.d2_texture_manager.data):
+            textures = r.d2_texture_manager.evaluate()
+        cube_textures = None
+        if skybox_slot is not None and len(r.d2c_texture_manager.data):
+            cube_textures = r.d2c_texture_manager.evaluate()
+
+        uniforms = shade_ops.FrameUniformsArrays(
+            view=jnp.asarray(cam.view),
+            view_proj=jnp.asarray(cam.view_proj()),
+            origin_view_proj=jnp.asarray(cam.origin_view_proj()),
+            inv_view=jnp.asarray(cam.inv_view),
+            inv_origin_view_proj=jnp.asarray(np.linalg.inv(cam.origin_view_proj()).astype(np.float32)),
+            ambient=jnp.asarray(np.array(settings.ambient_color, dtype=np.float32)),
+        )
+
+        dl = eval_output.dir_light_arrays
+        dir_lights = shade_ops.DirLightArrays(
+            view_proj=jnp.asarray(dl["view_proj"]),
+            color=jnp.asarray(dl["color"]),
+            direction=jnp.asarray(dl["direction"]),
+            inv_resolution=jnp.asarray(dl["inv_resolution"]),
+            atlas_offset=jnp.asarray(dl["atlas_offset"]),
+            atlas_size=jnp.asarray(dl["atlas_size"]),
+            mask=jnp.asarray(dl["mask"]),
+        )
+        pl = eval_output.point_light_arrays
+        point_lights = shade_ops.PointLightArrays(
+            position=jnp.asarray(pl["position"]),
+            color=jnp.asarray(pl["color"]),
+            radius=jnp.asarray(pl["radius"]),
+            mask=jnp.asarray(pl["mask"]),
+        )
+
+        # Skinning inputs (before geometry is consumed).
+        skin_inputs = skin_ops.build_skin_inputs(r.skeleton_manager, r.mesh_manager)
+
+        key = (
+            target.width,
+            target.height,
+            target.samples,
+            plan,
+            eval_output.shadow_atlas_extent,
+            r.handedness,
+            textures is not None,
+            cube_textures is not None and skybox_slot is not None,
+        )
+        program = self._program_cache.get(key)
+        if program is None:
+            program = self._build_program(key)
+            self._program_cache[key] = program
+
+        geo = r.mesh_manager.evaluate()
+        if skin_inputs is not None:
+            geo = skin_ops.apply_skinning(geo, skin_inputs)
+
+        img = program(
+            geo,
+            jnp.asarray(tri_vlocal),
+            jnp.asarray(tri_obj),
+            jnp.asarray(blend_vlocal),
+            jnp.asarray(blend_obj),
+            jnp.asarray(transforms),
+            jnp.asarray(visible),
+            jnp.asarray(shadow_visible),
+            jnp.asarray(bases),
+            jnp.asarray(material_slots),
+            mat_data,
+            mat_flags,
+            mat_tex,
+            dir_lights,
+            point_lights,
+            uniforms,
+            jnp.asarray(cam.view),
+            jnp.asarray(cam.proj),
+            jnp.asarray(np.array(settings.clear_color, dtype=np.float32)),
+            textures,
+            cube_textures,
+            np.int32(skybox_slot + 1) if skybox_slot is not None else np.int32(0),
+        )
+        return np.asarray(jax.device_get(img))
+
+    # -- the jitted frame program ----------------------------------------------
+
+    def _build_program(self, key):
+        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox) = key
+        front_cw = handedness == Handedness.LEFT
+        sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
+        aw, ah = atlas_extent
+
+        def frame(
+            geo,
+            tri_vlocal,
+            tri_obj,
+            blend_vlocal,
+            blend_obj,
+            transforms,
+            visible,
+            shadow_visible,
+            bases,
+            material_slots,
+            mat_data,
+            mat_flags,
+            mat_tex,
+            dir_lights,
+            point_lights,
+            uniforms,
+            view,
+            proj,
+            clear_color,
+            textures,
+            cube_textures,
+            skybox_slot,
+        ):
+            materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
+
+            # ---- shadow passes (depth-only, cull FRONT faces) ----
+            shadow_atlas = jnp.zeros((ah, aw), jnp.float32)
+            for k, (li, (ox, oy), size) in enumerate(plan):
+                svp = dir_lights.view_proj[k]
+                _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
+                svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
+                sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp)
+                sclipped = transform_ops.clip_triangles(sclip, svalid)
+                svis = raster_ops.rasterize(
+                    sclipped.clip,
+                    sclipped.valid,
+                    size,
+                    size,
+                    cull_mode=raster_ops.CullMode.FRONT,
+                    front_is_cw=front_cw,
+                    sample_offsets=raster_ops.CENTER_OFFSET,
+                )
+                shadow_atlas = jax.lax.dynamic_update_slice(shadow_atlas, svis.depth[0], (oy, ox))
+
+            # ---- main visibility pass (opaque + cutout) ----
+            mv, mvp = transform_ops.object_uniforms(transforms, view, proj)
+            valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
+            clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp)
+            clipped = transform_ops.clip_triangles(clip, valid)
+            vis = raster_ops.rasterize(
+                clipped.clip,
+                clipped.valid,
+                width,
+                height,
+                cull_mode=raster_ops.CullMode.BACK,
+                front_is_cw=front_cw,
+                sample_offsets=sample_offsets,
+            )
+
+            # ---- background: clear color, then skybox where provided ----
+            nsamp = len(sample_offsets)
+            background = jnp.broadcast_to(clear_color, (nsamp, height, width, 4))
+            if has_skybox:
+                background = _skybox_background(
+                    cube_textures, skybox_slot, uniforms, width, height, sample_offsets
+                )
+
+            # ---- deferred shading ----
+            img = shade_ops.shade_deferred(
+                vis,
+                clipped,
+                tri_vlocal,
+                tri_obj,
+                geo,
+                bases,
+                mv,
+                material_slots,
+                materials,
+                dir_lights,
+                point_lights,
+                shadow_atlas,
+                uniforms,
+                width,
+                height,
+                sample_offsets,
+                textures=textures if has_tex else None,
+                background=background,
+            )
+
+            # ---- transparent pass (sorted, blended) ----
+            img = _blend_pass(
+                img, vis, blend_vlocal, blend_obj, visible, bases, mv, mvp,
+                material_slots, materials, dir_lights, point_lights, shadow_atlas,
+                uniforms, geo, width, height, sample_offsets, front_cw,
+                textures if has_tex else None,
+            )
+
+            # ---- tonemapping blit: f16 HDR intermediate -> resolve -> sRGB ----
+            img = blit_ops.f16_roundtrip(img)
+            resolved = blit_ops.resolve_samples(img)
+            return blit_ops.hdr_to_srgb_u8(resolved)
+
+        return jax.jit(frame)
+
+
+def _skybox_background(cube_textures, skybox_slot, uniforms, width, height, sample_offsets):
+    """reference: rend3-routine/src/skybox.rs + shaders skybox.wgsl: fullscreen
+    direction from inv_origin_view_proj at the near plane."""
+    from ..ops import texture as tex_ops
+
+    nsamp = len(sample_offsets)
+    cols = jnp.arange(width, dtype=jnp.float32)
+    rows = jnp.arange(height, dtype=jnp.float32)
+    outs = []
+    for ox, oy in sample_offsets:
+        py, px = jnp.meshgrid(rows + oy, cols + ox, indexing="ij")
+        ndc_x = px / width * 2.0 - 1.0
+        ndc_y = 1.0 - py / height * 2.0
+        clip = jnp.stack(
+            [ndc_x, ndc_y, jnp.ones_like(ndc_x), jnp.ones_like(ndc_x)], axis=-1
+        ).reshape(-1, 4)
+        world = clip @ uniforms.inv_origin_view_proj.T
+        world_dir = world[:, :3] / jnp.where(world[:, 3:4] == 0.0, 1.0, world[:, 3:4])
+        n = jnp.sqrt((world_dir * world_dir).sum(-1, keepdims=True))
+        world_dir = world_dir / jnp.where(n == 0.0, 1.0, n)
+        rgba = tex_ops.sample_cube(cube_textures, skybox_slot, world_dir)
+        rgba = jnp.concatenate([rgba[:, :3], jnp.ones_like(rgba[:, 3:4])], axis=-1)
+        outs.append(rgba.reshape(height, width, 4))
+    return jnp.stack(outs)
+
+
+def _blend_pass(
+    img, vis, blend_vlocal, blend_obj, visible, bases, mv, mvp, material_slots,
+    materials, dir_lights, point_lights, shadow_atlas, uniforms, geo,
+    width, height, sample_offsets, front_cw, textures,
+):
+    """Alpha-blended triangles, drawn in (pre-sorted back-to-front) order.
+
+    Each blend triangle is rasterized and shaded against the opaque depth
+    buffer with src_alpha/one_minus_src_alpha compositing (the reference's
+    ALPHA_BLENDING pipeline state). Sequential over triangles via lax.scan —
+    order is semantically required (SortingReason::Requirement).
+    """
+    B = blend_vlocal.shape[0]
+    if B == 0:
+        return img
+
+    valid = (blend_obj >= 0) & visible[jnp.maximum(blend_obj, 0)]
+    clip = transform_ops.gather_tri_clip(geo.position, blend_vlocal, blend_obj, bases[:, 0], mvp)
+    clipped = transform_ops.clip_triangles(clip, valid)
+
+    # Reorder the 3x clip expansion back into per-source-triangle order so the
+    # scan preserves back-to-front ordering: slots k*B+i belong to source i.
+    order = jnp.argsort(clipped.orig, stable=True)
+    cclip = clipped.clip[order]
+    cbary = clipped.bary[order]
+    corig = clipped.orig[order]
+    cvalid = clipped.valid[order]
+
+    xs, ys, zs, ws, keep, _ = raster_ops.prepare_tris(
+        cclip, cvalid, width, height, raster_ops.CullMode.BACK, front_cw
+    )
+
+    cols = jnp.arange(width, dtype=jnp.float32)
+    rows = jnp.arange(height, dtype=jnp.float32)
+    grids = []
+    for ox, oy in sample_offsets:
+        py, px = jnp.meshgrid(rows + oy, cols + ox, indexing="ij")
+        grids.append((px, py))
+    pxs = jnp.stack([g[0] for g in grids])  # (S, H, W)
+    pys = jnp.stack([g[1] for g in grids])
+
+    def body(acc, inp):
+        img_acc, depth_acc = acc
+        x, y, z, w, k, orig_id, bmat = inp
+        ax, bx = x, jnp.roll(x, -1)
+        ay, by = y, jnp.roll(y, -1)
+        tl = raster_ops._top_left(ax, ay, bx, by)
+        e = raster_ops._edge(ax[:, None, None, None], ay[:, None, None, None],
+                             bx[:, None, None, None], by[:, None, None, None], pxs[None], pys[None])
+        inside = (e > 0.0) | ((e == 0.0) & tl[:, None, None, None])
+        cov = inside.all(axis=0) & k  # (S, H, W)
+        bar = jnp.stack([e[1], e[2], e[0]], axis=0)  # (3, S, H, W)
+        bsum = bar.sum(axis=0, keepdims=True)
+        bar = bar / jnp.where(bsum == 0.0, 1.0, bsum)
+        zf = (bar * z[:, None, None, None]).sum(axis=0)
+        cov = cov & (zf >= depth_acc) & (zf >= 0.0) & (zf <= 1.0)
+
+        pb = bar / w[:, None, None, None]
+        pb = pb / pb.sum(axis=0, keepdims=True)
+        beta = jnp.einsum("jshw,jk->shwk", pb, bmat)  # (S, H, W, 3)
+
+        rgba = _shade_blend_tri(
+            orig_id, beta, blend_vlocal, blend_obj, bases, mv, material_slots,
+            materials, dir_lights, point_lights, shadow_atlas, uniforms, geo, textures,
+        )  # (4,) per pixel given barycentrics -> (S, H, W, 4)
+
+        a = rgba[..., 3:4]
+        blended = jnp.concatenate(
+            [rgba[..., :3] * a + img_acc[..., :3] * (1.0 - a), a + img_acc[..., 3:4] * (1.0 - a)],
+            axis=-1,
+        )
+        img_acc = jnp.where(cov[..., None], blended, img_acc)
+        depth_acc = jnp.where(cov, zf, depth_acc)  # blend writes depth (forward.rs:348)
+        return (img_acc, depth_acc), None
+
+    (img, _), _ = jax.lax.scan(body, (img, vis.depth), (xs, ys, zs, ws, keep, corig, cbary))
+    return img
+
+
+def _shade_blend_tri(
+    orig_id, beta, blend_vlocal, blend_obj, bases, mv, material_slots, materials,
+    dir_lights, point_lights, shadow_atlas, uniforms, geo, textures,
+):
+    """Shade one blend triangle across the full image given per-pixel
+    original-triangle barycentrics beta (S, H, W, 3)."""
+    S, H, W, _ = beta.shape
+    N = S * H * W
+    b = beta.reshape(N, 3)
+
+    vloc = blend_vlocal[orig_id]  # (3,)
+    obj = jnp.maximum(blend_obj[orig_id], 0)
+    base = bases[obj]
+
+    def gather(arena, ai, default):
+        has = base[ai] >= 0
+        ids = jnp.clip(vloc + base[ai], 0, arena.shape[0] - 1)
+        vals = arena[ids]  # (3, C)
+        return jnp.where(has, 1.0, 0.0) * vals + (1.0 - jnp.where(has, 1.0, 0.0)) * jnp.asarray(default)
+
+    m = mv[obj]
+    mv3 = m[:3, :3]
+    pos = gather(geo.position, 0, jnp.zeros(3))
+    model_pos = b @ pos
+    view_pos = model_pos @ mv3.T + m[:3, 3]
+
+    inv_scale_sq = 1.0 / jnp.maximum((mv3 * mv3).sum(axis=0), 1e-30)
+    nrm_c = (gather(geo.normal, 1, jnp.zeros(3)) * inv_scale_sq) @ mv3.T
+    tan_c = (gather(geo.tangent, 2, jnp.zeros(3)) * inv_scale_sq) @ mv3.T
+    nrm_c = nrm_c / jnp.maximum(jnp.linalg.norm(nrm_c, axis=-1, keepdims=True), 1e-20)
+    tan_c = tan_c / jnp.maximum(jnp.linalg.norm(tan_c, axis=-1, keepdims=True), 1e-20)
+    nrm = b @ nrm_c
+    tan = b @ tan_c
+    uv0 = b @ gather(geo.uv0, 3, jnp.zeros(2))
+    vcol = b @ gather(geo.color0, 5, jnp.ones(4))
+
+    midx = material_slots[obj]
+    mdata = jnp.broadcast_to(materials.data[midx], (N, materials.data.shape[1]))
+    mflags = jnp.broadcast_to(materials.flags[midx], (N,))
+    mtex = jnp.broadcast_to(materials.textures[midx], (N, materials.textures.shape[1])) if textures is not None else None
+
+    out_rgb, out_a = shade_ops._shade_pixels(
+        mdata, mflags, mtex, textures, uv0, None, vcol, nrm, tan, view_pos,
+        dir_lights, point_lights, shadow_atlas, uniforms,
+    )
+    return jnp.concatenate([out_rgb, out_a], axis=-1).reshape(S, H, W, 4)
