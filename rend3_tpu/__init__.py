@@ -6,6 +6,12 @@ megabuffer, PBR forward shading with shadow atlas, GPU-driven culling,
 skinning, glTF loading — built on a software visibility-buffer rasterizer.
 """
 
+import jax as _jax
+
+# Vertex transforms and shading matrices must be true float32: TPU matmuls
+# default to bfloat16 accumulation, which visibly shifts rasterized edges.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from . import types  # noqa: F401
 from .core.renderer import Renderer  # noqa: F401
 from .types import Camera, Handedness, MeshBuilder, Object  # noqa: F401

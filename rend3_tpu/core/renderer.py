@@ -156,9 +156,25 @@ class Renderer:
         self.instructions.push(InstructionKind.ADD_OBJECT, (handle.idx, obj))
         return handle
 
-    def duplicate_object(self, src: ResourceHandle) -> ResourceHandle:
+    def duplicate_object(
+        self,
+        src: ResourceHandle,
+        *,
+        transform=None,
+        material: Optional[ResourceHandle] = None,
+        mesh_kind=None,
+    ) -> ResourceHandle:
+        """Duplicate with optional ObjectChange overrides
+        (reference: renderer/mod.rs duplicate_object + ObjectChange)."""
         handle = self._handle("object", InstructionKind.DELETE_OBJECT)
-        self.instructions.push(InstructionKind.DUPLICATE_OBJECT, (src.idx, handle.idx))
+        change = {}
+        if transform is not None:
+            change["transform"] = np.asarray(transform, dtype=np.float32).reshape(4, 4)
+        if material is not None:
+            change["material"] = material
+        if mesh_kind is not None:
+            change["mesh_kind"] = mesh_kind
+        self.instructions.push(InstructionKind.DUPLICATE_OBJECT, (src.idx, handle.idx, change))
         return handle
 
     def set_object_transform(self, handle: ResourceHandle, transform) -> None:
@@ -228,8 +244,16 @@ class Renderer:
                 )
             elif kind == K.DUPLICATE_OBJECT:
                 src_obj = self.object_manager.duplicate(p[0])
+                change = p[2] if len(p) > 2 else {}
+                from ..types.object import Object as _Object
+
+                new_obj = _Object(
+                    mesh_kind=change.get("mesh_kind", src_obj.mesh_kind),
+                    material=change.get("material", src_obj.material),
+                    transform=change.get("transform", src_obj.transform),
+                )
                 self.object_manager.add(
-                    p[1], src_obj, self.mesh_manager, self.material_manager, self.skeleton_manager
+                    p[1], new_obj, self.mesh_manager, self.material_manager, self.skeleton_manager
                 )
             elif kind == K.SET_OBJECT_TRANSFORM:
                 self.object_manager.set_transform(p[0], p[1])
