@@ -1,0 +1,101 @@
+"""Benchmark: Bistro-proxy scene at 1080p (cull + shadow + PBR).
+
+The reference's north-star metric is scene_viewer Bistro at 1080p under
+16 ms/frame (BASELINE.md). Bistro assets aren't shippable in this image
+(zero egress), so this benchmark renders a procedurally-generated city-block
+proxy with comparable per-frame work characteristics: many objects, multiple
+PBR materials, one shadowed directional light, full frame pipeline
+(frustum cull -> visibility raster -> deferred PBR -> shadow PCF -> tonemap).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = 16.0 / ms_per_frame (>1.0 beats the 16 ms target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_city_scene(runner, n_buildings=256, seed=7):
+    """City block: ground plane + grid of scaled cubes with varied materials."""
+    from rend3_tpu.utils import math as m3
+
+    rng = np.random.default_rng(seed)
+    keep = []
+
+    ground = runner.add_lit_material([0.35, 0.35, 0.33, 1.0])
+    keep.append(ground)
+    keep.append(runner.plane(ground, m3.rotation_x(-np.pi / 2) @ m3.scale(200.0)))
+
+    mats = []
+    for _ in range(32):
+        c = rng.uniform(0.2, 0.9, 3)
+        m = runner.add_lit_material([*c, 1.0])
+        mats.append(m)
+        keep.append(m)
+
+    side = int(np.ceil(np.sqrt(n_buildings)))
+    for i in range(n_buildings):
+        gx, gz = i % side, i // side
+        x = (gx - side / 2) * 8.0 + rng.uniform(-1, 1)
+        z = (gz - side / 2) * 8.0 + rng.uniform(-1, 1)
+        h = rng.uniform(2.0, 18.0)
+        w = rng.uniform(1.5, 3.5)
+        t = m3.translation([x, h, z]) @ m3.scale([w, h, w])
+        keep.append(runner.cube(mats[i % len(mats)], t))
+
+    keep.append(runner.add_directional_light(np.array([-0.7, -1.0, 0.4], np.float32)))
+    return keep
+
+
+def main():
+    from rend3_tpu.testing import TestRunner
+    from rend3_tpu.routine.base import BaseRenderGraphSettings, FrameRenderTarget
+    from rend3_tpu.types import Camera, Perspective
+    from rend3_tpu.utils import math as m3
+
+    width, height = 1920, 1080
+    warmup, iters = 2, 8
+
+    runner = TestRunner()
+    keep = build_city_scene(runner)
+    runner.set_camera_data(
+        Camera(
+            projection=Perspective(vfov=60.0, near=0.1),
+            view=m3.look_at_lh([40.0, 30.0, -60.0], [0.0, 5.0, 0.0], [0.0, 1.0, 0.0]),
+        )
+    )
+    runner.renderer.set_aspect_ratio(width / height)
+    runner.renderer.swap_instruction_buffers()
+    eval_output = runner.renderer.evaluate_instructions()
+
+    program, args = runner.base_graph.build_frame_callable(
+        eval_output, FrameRenderTarget(width, height, 1), BaseRenderGraphSettings(ambient_color=(0.08, 0.08, 0.1, 1.0))
+    )
+
+    for _ in range(warmup):
+        program(*args).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = program(*args)
+    out.block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "bistro-proxy 1080p ms/frame (cull+shadow+PBR, 1 chip)",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(16.0 / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,26 +125,34 @@ def rasterize(
     chunk: int = 256,
     frag_mask_fn=None,
     init: Optional[VisBuffer] = None,
+    origin=(0, 0),
+    tile=None,
 ) -> VisBuffer:
     """Rasterize triangles into a per-sample visibility buffer.
 
     ``frag_mask_fn(tri_ids (C,), bary (C,3,H,W), persp_bary (C,3,H,W)) -> (C,H,W) bool``
     optionally discards fragments (alpha cutout). Triangle order is draw
     order: on depth ties the later triangle wins (GreaterEqual).
+
+    ``tile`` restricts rasterization to a (tile_w, tile_h) window whose
+    top-left pixel is ``origin`` (may be traced — used for screen-tile
+    sharding across chips); ``width``/``height`` remain the full viewport for
+    the NDC -> pixel mapping. Output arrays are tile-sized.
     """
     T = clip.shape[0]
+    tile_w, tile_h = tile if tile is not None else (width, height)
     xs, ys, zs, ws, keep, _ = prepare_tris(clip, valid, width, height, cull_mode, front_is_cw)
 
     nsamp = len(sample_offsets)
     if init is None:
-        depth0 = jnp.zeros((nsamp, height, width), jnp.float32)
-        tri0 = jnp.full((nsamp, height, width), -1, jnp.int32)
+        depth0 = jnp.zeros((nsamp, tile_h, tile_w), jnp.float32)
+        tri0 = jnp.full((nsamp, tile_h, tile_w), -1, jnp.int32)
     else:
         depth0, tri0 = init
 
     # Pixel-center grids per sample.
-    px_rows = jnp.arange(height, dtype=jnp.float32)
-    px_cols = jnp.arange(width, dtype=jnp.float32)
+    px_rows = jnp.arange(tile_h, dtype=jnp.float32) + origin[1]
+    px_cols = jnp.arange(tile_w, dtype=jnp.float32) + origin[0]
     grids = []
     for ox, oy in sample_offsets:
         py, px = jnp.meshgrid(px_rows + oy, px_cols + ox, indexing="ij")

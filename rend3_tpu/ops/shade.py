@@ -273,10 +273,14 @@ def shade_deferred(
     sample_offsets,
     textures=None,             # optional texture system (ops.texture.TextureArrays)
     background: Optional[jnp.ndarray] = None,  # (S,H,W,4) or None -> transparent black
+    origin=(0, 0),
 ) -> jnp.ndarray:
-    """Shade every sample; returns (S, H, W, 4) linear HDR RGBA."""
-    S = vis.tri.shape[0]
-    N = S * height * width
+    """Shade every sample; returns (S, Ht, Wt, 4) linear HDR RGBA.
+
+    ``width``/``height`` are the full viewport (NDC mapping); the shaded
+    region is the tile covered by ``vis`` starting at ``origin``."""
+    S, tile_h, tile_w = vis.tri.shape
+    N = S * tile_h * tile_w
 
     t = vis.tri.reshape(N)
     hit = t >= 0
@@ -292,8 +296,8 @@ def shade_deferred(
     sy = (0.5 - cpos[..., 1] * inv_w * 0.5) * height
 
     # Sample-position grid matching the raster pass.
-    cols = jnp.arange(width, dtype=jnp.float32)
-    rows = jnp.arange(height, dtype=jnp.float32)
+    cols = jnp.arange(tile_w, dtype=jnp.float32) + origin[0]
+    rows = jnp.arange(tile_h, dtype=jnp.float32) + origin[1]
     pxs, pys = [], []
     for ox, oy in sample_offsets:
         py, px = jnp.meshgrid(rows + oy, cols + ox, indexing="ij")
@@ -372,7 +376,7 @@ def shade_deferred(
     else:
         bg = background.reshape(N, 4)
     rgba = jnp.where(hit[:, None], rgba, bg)
-    return rgba.reshape(S, height, width, 4)
+    return rgba.reshape(S, tile_h, tile_w, 4)
 
 
 def _uv_gradients(sx, sy, inv_w, bmat, bar, pb, uv_corners):

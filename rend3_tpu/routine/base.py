@@ -73,6 +73,18 @@ class BaseRenderGraph:
         skybox_slot: Optional[int] = None,
     ) -> np.ndarray:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
+        program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
+        return np.asarray(jax.device_get(program(*args)))
+
+    def build_frame_callable(
+        self,
+        eval_output: InstructionEvaluationOutput,
+        target: FrameRenderTarget,
+        settings: BaseRenderGraphSettings = BaseRenderGraphSettings(),
+        skybox_slot: Optional[int] = None,
+    ):
+        """Assemble this frame's (jitted program, input args). Host-side work
+        only; calling program(*args) runs the whole frame on device."""
         r = self.renderer
         om = r.object_manager
         cam = r.camera
@@ -205,7 +217,7 @@ class BaseRenderGraph:
         if skin_inputs is not None:
             geo = skin_ops.apply_skinning(geo, skin_inputs)
 
-        img = program(
+        args = (
             geo,
             jnp.asarray(tri_vlocal),
             jnp.asarray(tri_obj),
@@ -229,7 +241,7 @@ class BaseRenderGraph:
             cube_textures,
             np.int32(skybox_slot + 1) if skybox_slot is not None else np.int32(0),
         )
-        return np.asarray(jax.device_get(img))
+        return program, args
 
     # -- the jitted frame program ----------------------------------------------
 
