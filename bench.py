@@ -81,8 +81,7 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = program(*args)
-    out.block_until_ready()
+        program(*args).block_until_ready()
     ms = (time.perf_counter() - t0) / iters * 1000.0
 
     print(

@@ -1,0 +1,220 @@
+"""GPU-driven geometry front-end: per-triangle culling, setup, and binning.
+
+The TPU redesign of the reference's GpuCuller + cull.wgsl
+(rend3-routine/src/culling/culler.rs, shaders/src/cull.wgsl): every triangle
+is frustum/winding/degenerate/sub-pixel culled in one vectorized pass, the
+survivors are compacted (stream compaction via cumsum+scatter — the XLA
+equivalent of the shader's atomic append), converted to screen-space edge
+equations, and binned into (8, 128) pixel tiles by a two-level row/column
+compaction. The resulting per-tile triangle lists drive the Pallas fine
+rasterizer (ops/raster_pallas.py).
+
+Like the reference, culling is what makes large scenes cheap: raster cost
+tracks *surviving* triangles, not scene size.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TriSetup", "BinnedTris", "cull_and_setup", "bin_triangles", "TILE_H", "TILE_W"]
+
+TILE_H = 8
+TILE_W = 128
+
+# Setup row layout (SETUP_W floats per surviving triangle).
+SETUP_W = 16
+S_EA, S_EB, S_EC = 0, 3, 6        # edge eq: e_i = a_i*px + b_i*py + c_i (inside > 0)
+S_ZA, S_ZB, S_ZC = 9, 10, 11      # depth plane: z = za*px + zb*py + zc
+S_TL = 12                          # top-left flag, edge 0 (0.0/1.0)
+S_ID = 13                          # source (clipped-table) id, bitcast int32
+S_TL1, S_TL2 = 14, 15             # top-left flags, edges 1 and 2
+
+
+class TriSetup(NamedTuple):
+    setup: jnp.ndarray   # (V, SETUP_W) f32
+    bbox: jnp.ndarray    # (V, 4) f32: xmin, ymin, xmax, ymax (pixels)
+    count: jnp.ndarray   # () i32 number of valid rows
+
+
+class BinnedTris(NamedTuple):
+    ids: jnp.ndarray     # (n_tiles, K) i32 indices into the setup table
+    counts: jnp.ndarray  # (n_tiles,) i32
+    overflow: jnp.ndarray  # () i32 total dropped (tiles over capacity)
+
+
+def _compact(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stream compaction: indices of True entries, padded with -1 to cap."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1
+    ids = jnp.full(cap, -1, jnp.int32)
+    src = jnp.arange(n, dtype=jnp.int32)
+    ids = ids.at[jnp.where(mask, pos, cap)].set(src, mode="drop")
+    return ids, mask.sum().astype(jnp.int32)
+
+
+def cull_and_setup(
+    clip: jnp.ndarray,       # (T, 3, 4) clipped triangles
+    valid: jnp.ndarray,      # (T,) bool
+    width: int,
+    height: int,
+    *,
+    cull_mode: int,
+    front_is_cw: bool,
+    cap: Optional[int] = None,
+    subpixel: bool = False,
+    hiz: Optional[jnp.ndarray] = None,  # optional (levels...) pyramid, see hi_z.py
+    hiz_mips=None,
+) -> TriSetup:
+    """Cull, compute edge/depth planes, compact. cap defaults to T."""
+    from .raster import CullMode, _top_left
+
+    T = clip.shape[0]
+    cap = cap or T
+
+    w = clip[..., 3]
+    inv_w = 1.0 / jnp.where(w == 0.0, 1.0, w)
+    x = (clip[..., 0] * inv_w * 0.5 + 0.5) * width     # (T, 3)
+    y = (0.5 - clip[..., 1] * inv_w * 0.5) * height
+    z = clip[..., 2] * inv_w
+
+    area2 = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])
+    is_front = (area2 > 0.0) if front_is_cw else (area2 < 0.0)
+
+    keep = valid & (area2 != 0.0) & (w > 0.0).all(axis=-1)
+    if cull_mode == CullMode.BACK:
+        keep = keep & is_front
+    elif cull_mode == CullMode.FRONT:
+        keep = keep & ~is_front
+
+    xmin = x.min(axis=1)
+    xmax = x.max(axis=1)
+    ymin = y.min(axis=1)
+    ymax = y.max(axis=1)
+    # viewport reject
+    keep = keep & (xmax > 0.0) & (xmin < width) & (ymax > 0.0) & (ymin < height)
+
+    if subpixel:
+        # Sub-pixel cull: bbox contains no pixel center (cull.wgsl:221-236,
+        # non-MSAA only): round min up to next center, compare to max.
+        cx = jnp.floor(xmin - 0.5) + 1.5   # first center >= xmin
+        cy = jnp.floor(ymin - 0.5) + 1.5
+        keep = keep & (cx <= xmax) & (cy <= ymax)
+
+    if hiz is not None:
+        from . import hi_z as hiz_ops
+
+        occluded = hiz_ops.occlusion_test(hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height)
+        keep = keep & ~occluded
+
+    # Orient: ensure positive area for uniform edge tests.
+    flip = area2 < 0.0
+    perm = jnp.where(flip[:, None], jnp.array([0, 2, 1]), jnp.array([0, 1, 2]))
+    xo = jnp.take_along_axis(x, perm, axis=1)
+    yo = jnp.take_along_axis(y, perm, axis=1)
+    zo = jnp.take_along_axis(z, perm, axis=1)
+
+    # Edge i: from corner i to corner i+1. e = a*px + b*py + c.
+    xn = jnp.roll(xo, -1, axis=1)
+    yn = jnp.roll(yo, -1, axis=1)
+    ea = -(yn - yo)                       # (T, 3)
+    eb = xn - xo
+    ec = (yn - yo) * xo - (xn - xo) * yo
+    tl = _top_left(xo, yo, xn, yn).astype(jnp.float32)  # (T, 3)
+
+    # Depth plane: z(p) = sum_i z_i * e_opp_i(p) / area. Opposite edge of
+    # corner 0 is edge 1 (1->2), corner 1 -> edge 2, corner 2 -> edge 0.
+    area_o = (xo[:, 1] - xo[:, 0]) * (yo[:, 2] - yo[:, 0]) - (xo[:, 2] - xo[:, 0]) * (yo[:, 1] - yo[:, 0])
+    inv_area = 1.0 / jnp.where(area_o == 0.0, 1.0, area_o)
+    zw = jnp.stack([zo[:, 0], zo[:, 1], zo[:, 2]], axis=1)
+    opp = jnp.array([1, 2, 0])
+    za = (zw * jnp.take(ea, opp, axis=1)).sum(axis=1) * inv_area
+    zb = (zw * jnp.take(eb, opp, axis=1)).sum(axis=1) * inv_area
+    zc = (zw * jnp.take(ec, opp, axis=1)).sum(axis=1) * inv_area
+
+    ids, count = _compact(keep, cap)
+    g = jnp.clip(ids, 0, T - 1)
+
+    setup = jnp.zeros((cap, SETUP_W), jnp.float32)
+    setup = setup.at[:, S_EA + 0].set(ea[g, 0])
+    setup = setup.at[:, S_EA + 1].set(ea[g, 1])
+    setup = setup.at[:, S_EA + 2].set(ea[g, 2])
+    setup = setup.at[:, S_EB + 0].set(eb[g, 0])
+    setup = setup.at[:, S_EB + 1].set(eb[g, 1])
+    setup = setup.at[:, S_EB + 2].set(eb[g, 2])
+    setup = setup.at[:, S_EC + 0].set(ec[g, 0])
+    setup = setup.at[:, S_EC + 1].set(ec[g, 1])
+    setup = setup.at[:, S_EC + 2].set(ec[g, 2])
+    setup = setup.at[:, S_ZA].set(za[g])
+    setup = setup.at[:, S_ZB].set(zb[g])
+    setup = setup.at[:, S_ZC].set(zc[g])
+    setup = setup.at[:, S_TL].set(tl[g, 0])
+    setup = setup.at[:, S_TL1].set(tl[g, 1])
+    setup = setup.at[:, S_TL2].set(tl[g, 2])
+    # id stored as a float *value* (exact for < 2^24, cf. MAX_VERTEX_COUNT)
+    setup = setup.at[:, S_ID].set(g.astype(jnp.float32))
+
+    live = ids >= 0
+    bbox = jnp.stack(
+        [
+            jnp.where(live, xmin[g], 1e9),
+            jnp.where(live, ymin[g], 1e9),
+            jnp.where(live, xmax[g], -1e9),
+            jnp.where(live, ymax[g], -1e9),
+        ],
+        axis=1,
+    )
+    return TriSetup(setup=setup, bbox=bbox, count=count)
+
+
+def bin_triangles(
+    tris: TriSetup,
+    width: int,
+    height: int,
+    *,
+    tile_cap: int = 512,
+    row_cap: Optional[int] = None,
+) -> BinnedTris:
+    """Two-level (tile-row then tile) compaction binning.
+
+    Returns per-tile id lists into the setup table. Tiles are (TILE_H,
+    TILE_W) pixels, row-major. width/height are padded sizes (multiples of
+    TILE_W / TILE_H).
+    """
+    V = tris.setup.shape[0]
+    n_rows = height // TILE_H
+    n_cols = width // TILE_W
+    row_cap = row_cap or min(V, 1 << 15)
+
+    xmin, ymin, xmax, ymax = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
+
+    def do_row(r):
+        y0 = r * TILE_H
+        rmask = (ymax > y0) & (ymin < y0 + TILE_H)
+        row_ids, _ = _compact(rmask, row_cap)       # indices into setup table
+        gr = jnp.clip(row_ids, 0, V - 1)
+        live = row_ids >= 0
+        rxmin = jnp.where(live, xmin[gr], 1e9)
+        rxmax = jnp.where(live, xmax[gr], -1e9)
+
+        def do_col(c):
+            x0 = c * TILE_W
+            cmask = live & (rxmax > x0) & (rxmin < x0 + TILE_W)
+            pos = jnp.cumsum(cmask) - 1
+            out = jnp.full(tile_cap, -1, jnp.int32)
+            out = out.at[jnp.where(cmask, pos, tile_cap)].set(row_ids, mode="drop")
+            cnt = cmask.sum().astype(jnp.int32)
+            return out, cnt
+
+        outs, cnts = jax.vmap(do_col)(jnp.arange(n_cols))
+        return outs, cnts
+
+    ids, counts = jax.lax.map(do_row, jnp.arange(n_rows))  # (n_rows, n_cols, K), (n_rows, n_cols)
+    ids = ids.reshape(n_rows * n_cols, tile_cap)
+    counts = counts.reshape(n_rows * n_cols)
+    overflow = jnp.maximum(counts - tile_cap, 0).sum()
+    counts = jnp.minimum(counts, tile_cap)
+    return BinnedTris(ids=ids, counts=counts, overflow=overflow)

@@ -25,12 +25,61 @@ import numpy as np
 from ..core.framestate import ATTR_ORDER
 from ..core.renderer import InstructionEvaluationOutput, Renderer
 from ..ops import blit as blit_ops
+from ..ops import geometry as geom_ops
 from ..ops import raster as raster_ops
+from ..ops import raster_pallas as rp_ops
 from ..ops import shade as shade_ops
 from ..ops import skin as skin_ops
 from ..ops import transform as transform_ops
 from ..types import Handedness
 from ..types.material import SortingOrder
+
+
+def default_raster_backend() -> str:
+    """'pallas' on TPU, 'binned_xla' elsewhere; 'reference' for the O(T*P)
+    oracle. Override via RasterConfig or the REND3_TPU_RASTER env var."""
+    import os
+
+    env = os.environ.get("REND3_TPU_RASTER")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "binned_xla"
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def raster_scene(
+    clip,
+    valid,
+    width: int,
+    height: int,
+    *,
+    cull_mode: int,
+    front_is_cw: bool,
+    sample_offsets,
+    backend: str,
+    tile_cap: int = 2048,
+):
+    """Backend-dispatching scene rasterization -> VisBuffer at (S, H, W)."""
+    if backend == "reference":
+        return raster_ops.rasterize(
+            clip, valid, width, height, cull_mode=cull_mode,
+            front_is_cw=front_is_cw, sample_offsets=sample_offsets,
+        )
+    wp = _round_up(width, geom_ops.TILE_W)
+    hp = _round_up(height, geom_ops.TILE_H)
+    tris = geom_ops.cull_and_setup(
+        clip, valid, width, height, cull_mode=cull_mode, front_is_cw=front_is_cw,
+        subpixel=len(sample_offsets) == 1,
+    )
+    binned = geom_ops.bin_triangles(tris, wp, hp, tile_cap=min(clip.shape[0], tile_cap))
+    fn = rp_ops.rasterize_binned if backend == "pallas" else rp_ops.rasterize_binned_xla
+    vis = fn(tris, binned, wp, hp, sample_offsets)
+    if (wp, hp) != (width, height):
+        vis = raster_ops.VisBuffer(depth=vis.depth[:, :height, :width], tri=vis.tri[:, :height, :width])
+    return vis
 
 __all__ = ["BaseRenderGraph", "BaseRenderGraphSettings", "FrameRenderTarget"]
 
@@ -207,6 +256,7 @@ class BaseRenderGraph:
             r.handedness,
             textures is not None,
             cube_textures is not None and skybox_slot is not None,
+            default_raster_backend(),
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -246,7 +296,7 @@ class BaseRenderGraph:
     # -- the jitted frame program ----------------------------------------------
 
     def _build_program(self, key):
-        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox) = key
+        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox, backend) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -285,7 +335,7 @@ class BaseRenderGraph:
                 svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
                 sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp)
                 sclipped = transform_ops.clip_triangles(sclip, svalid)
-                svis = raster_ops.rasterize(
+                svis = raster_scene(
                     sclipped.clip,
                     sclipped.valid,
                     size,
@@ -293,6 +343,7 @@ class BaseRenderGraph:
                     cull_mode=raster_ops.CullMode.FRONT,
                     front_is_cw=front_cw,
                     sample_offsets=raster_ops.CENTER_OFFSET,
+                    backend=backend,
                 )
                 shadow_atlas = jax.lax.dynamic_update_slice(shadow_atlas, svis.depth[0], (oy, ox))
 
@@ -301,7 +352,7 @@ class BaseRenderGraph:
             valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
             clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp)
             clipped = transform_ops.clip_triangles(clip, valid)
-            vis = raster_ops.rasterize(
+            vis = raster_scene(
                 clipped.clip,
                 clipped.valid,
                 width,
@@ -309,6 +360,7 @@ class BaseRenderGraph:
                 cull_mode=raster_ops.CullMode.BACK,
                 front_is_cw=front_cw,
                 sample_offsets=sample_offsets,
+                backend=backend,
             )
 
             # ---- background: clear color, then skybox where provided ----
