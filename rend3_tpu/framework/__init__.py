@@ -1,0 +1,101 @@
+"""Application framework (counterpart of rend3-framework).
+
+Reference: rend3-framework/src/lib.rs — the App trait + start(): build
+renderer, shader infrastructure, base graph and default routines, call the
+app's setup(), then run the frame loop. Windowing is replaced by offscreen
+rendering to PNG (the headless path rend3's own example tests use,
+examples/src/tests.rs:16-88); a live viewer can wrap `render_once`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core.renderer import Renderer
+from ..routine.base import BaseRenderGraph, BaseRenderGraphSettings, FrameRenderTarget
+from ..types import Handedness, SampleCount
+
+__all__ = ["App", "SetupContext", "RedrawContext", "start", "render_single_frame"]
+
+
+@dataclass
+class SetupContext:
+    renderer: Renderer
+    base_graph: BaseRenderGraph
+    resolution: tuple
+
+
+@dataclass
+class RedrawContext:
+    renderer: Renderer
+    base_graph: BaseRenderGraph
+    resolution: tuple
+    delta_t_seconds: float
+    elapsed: float
+
+
+class App:
+    """Subclass and override; mirrors rend3_framework::App."""
+
+    HANDEDNESS = Handedness.LEFT
+
+    def sample_count(self) -> int:
+        return 1
+
+    def ambient_color(self):
+        return (0.0, 0.0, 0.0, 0.0)
+
+    def clear_color(self):
+        return (0.0, 0.0, 0.0, 1.0)
+
+    def skybox_slot(self) -> Optional[int]:
+        return None
+
+    def setup(self, context: SetupContext) -> None:  # pragma: no cover
+        pass
+
+    def handle_redraw(self, context: RedrawContext) -> None:
+        """Per-frame scene mutation (animation etc.); default no-op."""
+
+
+def render_single_frame(app: App, width: int, height: int) -> np.ndarray:
+    """Run setup + one frame; returns (H, W, 4) u8."""
+    return start(app, width, height, frames=1)[-1]
+
+
+def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 1 / 60) -> list:
+    """Headless event loop: setup once, then `frames` redraws. Returns the
+    rendered images."""
+    renderer = Renderer(handedness=app.HANDEDNESS, aspect_ratio=width / height)
+    base_graph = BaseRenderGraph(renderer)
+    app.setup(SetupContext(renderer=renderer, base_graph=base_graph, resolution=(width, height)))
+    renderer.set_aspect_ratio(width / height)
+
+    settings = BaseRenderGraphSettings(
+        ambient_color=tuple(app.ambient_color()), clear_color=tuple(app.clear_color())
+    )
+    target = FrameRenderTarget(width, height, app.sample_count())
+
+    images = []
+    elapsed = 0.0
+    for i in range(frames):
+        app.handle_redraw(
+            RedrawContext(
+                renderer=renderer,
+                base_graph=base_graph,
+                resolution=(width, height),
+                delta_t_seconds=frame_dt,
+                elapsed=elapsed,
+            )
+        )
+        renderer.swap_instruction_buffers()
+        eval_output = renderer.evaluate_instructions()
+        images.append(
+            base_graph.render_frame(eval_output, target, settings, skybox_slot=app.skybox_slot())
+        )
+        elapsed += frame_dt
+    return images

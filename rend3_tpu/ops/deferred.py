@@ -1,0 +1,346 @@
+"""Fused raster + G-buffer resolve, and per-triangle attribute planes.
+
+Per-pixel attribute gathers are catastrophically slow on TPU (~5 ms per
+row-gather at 1080p, ~22 ms per scalar gather), so the visibility buffer is
+never "looked up": instead every surviving triangle gets *screen-space
+interpolation planes* for each vertex attribute (attr/w and 1/w are linear in
+screen space), and one Pallas kernel per (32, 128) tile both rasterizes its
+binned triangle list AND accumulates the winning triangle's plane
+coefficients per pixel (selected with a tiny one-hot matmul on the MXU).
+The output G-buffer is then lit by a purely elementwise pass
+(ops/lighting.py) — zero per-pixel gathers in the whole hot path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import (
+    S_EA,
+    S_EB,
+    S_EC,
+    S_ID,
+    S_TL,
+    S_TL1,
+    S_TL2,
+    S_ZA,
+    S_ZB,
+    S_ZC,
+    SETUP_W,
+    BinnedTris,
+    TriSetup,
+)
+
+__all__ = [
+    "DTILE_H",
+    "DTILE_W",
+    "PLANES_W",
+    "GB_CH",
+    "GBuffer",
+    "attribute_planes",
+    "raster_resolve",
+]
+
+# Deferred path uses taller tiles: fewer grid steps, better VPU utilization.
+DTILE_H = 32
+DTILE_W = 128
+GROUP = 8  # triangles processed per vectorized inner step
+
+# Plane-table lanes (PLANES_W per surviving triangle).
+PLANES_W = 64
+P_DEN = 0    # 3: 1/w plane
+P_VP = 3     # 9: view-space position (3 ch x 3 coefs)
+P_NRM = 12   # 9
+P_TAN = 21   # 9
+P_UV0 = 30   # 6
+P_UV1 = 36   # 6
+P_COL = 42   # 12
+P_MAT = 54   # 1: material slot as float value
+# 55..63 pad
+
+# G-buffer channels.
+GB_CH = 24
+G_DEPTH = 0
+G_DEN = 1
+G_VP = 2     # 3
+G_NRM = 5    # 3
+G_TAN = 8    # 3
+G_UV0 = 11   # 2
+G_UV1 = 13   # 2
+G_COL = 15   # 4
+G_MAT = 19
+G_HIT = 20
+# 21..23 pad
+
+
+class GBuffer(NamedTuple):
+    """Raw (numerator-space) G-buffer: (CH, H, W) float32."""
+
+    data: jnp.ndarray
+
+    @property
+    def depth(self):
+        return self.data[G_DEPTH]
+
+    @property
+    def hit(self):
+        return self.data[G_HIT] > 0.0
+
+
+def attribute_planes(
+    tris: TriSetup,
+    ctri_clip: jnp.ndarray,    # (Tc, 3, 4)
+    ctri_bary: jnp.ndarray,    # (Tc, 3, 3)
+    ctri_orig: jnp.ndarray,    # (Tc,)
+    tri_vlocal: jnp.ndarray,
+    tri_obj: jnp.ndarray,
+    bases: jnp.ndarray,
+    geo,
+    model_view: jnp.ndarray,   # (O, 4, 4)
+    obj_material: jnp.ndarray,
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """Build the (V, PLANES_W) plane table for the surviving triangles.
+
+    All gathers here are over the *compacted survivor list* (a few thousand
+    rows), not pixels. Matches the vertex-stage math of opaque.wgsl vs_main:
+    view_position, per-corner-normalized view-space normals/tangents with
+    inverse-scale-squared correction, uv/color passthrough.
+    """
+    V = tris.setup.shape[0]
+    src = tris.src
+    c = ctri_clip[src]        # (V, 3, 4)
+    b = ctri_bary[src]        # (V, 3, 3)
+    o = ctri_orig[src]        # (V,)
+
+    # Apply the orientation swap (corners 1<->2) used by the edge setup.
+    swap = jnp.array([0, 2, 1])
+    c = jnp.where(tris.flip[:, None, None], c[:, swap], c)
+    b = jnp.where(tris.flip[:, None, None], b[:, swap], b)
+
+    inv_w = 1.0 / jnp.where(c[..., 3] == 0.0, 1.0, c[..., 3])   # (V, 3)
+    x = (c[..., 0] * inv_w * 0.5 + 0.5) * width
+    y = (0.5 - c[..., 1] * inv_w * 0.5) * height
+
+    # Oriented edge coefficients + area (same formulas as cull_and_setup).
+    xn = jnp.roll(x, -1, axis=1)
+    yn = jnp.roll(y, -1, axis=1)
+    ea = -(yn - y)
+    eb = xn - x
+    ec = (yn - y) * x - (xn - x) * y
+    area = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])
+    inv_area = 1.0 / jnp.where(area == 0.0, 1.0, area)
+    opp = jnp.array([1, 2, 0])
+    # lambda_j(p) = (oa_j*px + ob_j*py + oc_j) * inv_area
+    oa = jnp.take(ea, opp, axis=1) * inv_area[:, None]  # (V, 3)
+    ob = jnp.take(eb, opp, axis=1) * inv_area[:, None]
+    oc = jnp.take(ec, opp, axis=1) * inv_area[:, None]
+
+    # Corner attribute values (clipped corners = bary blend of source corners).
+    obj = jnp.maximum(tri_obj[o], 0)
+    vloc = tri_vlocal[o]                       # (V, 3)
+    bs = bases[obj]                            # (V, n_attrs)
+
+    def gattr(arena, ai, default):
+        base = bs[:, ai]
+        has = base >= 0
+        ids = jnp.clip(vloc + base[:, None], 0, arena.shape[0] - 1)
+        vals = arena[ids]                      # (V, 3src, C)
+        vals = jnp.where(has[:, None, None], vals, jnp.asarray(default, jnp.float32))
+        return jnp.einsum("vjk,vkc->vjc", b, vals)  # per-CLIPPED-corner values
+
+    mv = model_view[obj]
+    mv3 = mv[:, :3, :3]
+    pos_c = gattr(geo.position, 0, jnp.zeros(3))              # (V, 3, 3)
+    vp_c = jnp.einsum("vab,vjb->vja", mv3, pos_c) + mv[:, None, :3, 3]
+
+    inv_scale_sq = 1.0 / jnp.maximum((mv3 * mv3).sum(axis=1), 1e-30)  # (V, 3)
+    nrm_c = jnp.einsum("vab,vjb->vja", mv3, gattr(geo.normal, 1, jnp.zeros(3)) * inv_scale_sq[:, None, :])
+    tan_c = jnp.einsum("vab,vjb->vja", mv3, gattr(geo.tangent, 2, jnp.zeros(3)) * inv_scale_sq[:, None, :])
+
+    def _norm(v):
+        n = jnp.sqrt((v * v).sum(-1, keepdims=True))
+        return v / jnp.where(n == 0.0, 1.0, n)
+
+    nrm_c = _norm(nrm_c)
+    tan_c = _norm(tan_c)
+    uv0_c = gattr(geo.uv0, 3, jnp.zeros(2))
+    uv1_c = gattr(geo.uv1, 4, jnp.zeros(2))
+    col_c = gattr(geo.color0, 5, jnp.ones(4))
+
+    def num_planes(vals_c):
+        """vals_c: (V, 3, C) -> (V, C, 3) plane coefs of sum_j (A_j/w_j) lam_j."""
+        aw = vals_c * inv_w[:, :, None]        # (V, 3, C)
+        pa = jnp.einsum("vjc,vj->vc", aw, oa)
+        pb = jnp.einsum("vjc,vj->vc", aw, ob)
+        pc = jnp.einsum("vjc,vj->vc", aw, oc)
+        return jnp.stack([pa, pb, pc], axis=-1)  # (V, C, 3)
+
+    den = num_planes(jnp.ones_like(inv_w)[..., None])[:, 0]   # (V, 3)
+
+    planes = jnp.zeros((V, PLANES_W), jnp.float32)
+    planes = planes.at[:, P_DEN : P_DEN + 3].set(den)
+    planes = planes.at[:, P_VP : P_VP + 9].set(num_planes(vp_c).reshape(V, 9))
+    planes = planes.at[:, P_NRM : P_NRM + 9].set(num_planes(nrm_c).reshape(V, 9))
+    planes = planes.at[:, P_TAN : P_TAN + 9].set(num_planes(tan_c).reshape(V, 9))
+    planes = planes.at[:, P_UV0 : P_UV0 + 6].set(num_planes(uv0_c).reshape(V, 6))
+    planes = planes.at[:, P_UV1 : P_UV1 + 6].set(num_planes(uv1_c).reshape(V, 6))
+    planes = planes.at[:, P_COL : P_COL + 12].set(num_planes(col_c).reshape(V, 12))
+    planes = planes.at[:, P_MAT].set(obj_material[obj].astype(jnp.float32))
+    return planes
+
+
+def raster_resolve(
+    tris: TriSetup,
+    planes: jnp.ndarray,    # (V, PLANES_W)
+    binned: BinnedTris,
+    width: int,
+    height: int,
+    *,
+    interpret: bool = False,
+) -> GBuffer:
+    """The fused raster + resolve Pallas kernel over (32, 128) tiles.
+
+    Pass 1 per tile: grouped (8 triangles at a time) vectorized edge/depth
+    tests -> winner index per pixel. Pass 2: for groups containing winners,
+    select the winner's 64 plane coefficients per pixel with an (8 x 64)^T @
+    (8 x 4096) one-hot matmul on the MXU, then evaluate all attribute planes
+    once per pixel. Output: (GB_CH, H, W) numerator-space G-buffer.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = height // DTILE_H
+    n_cols = width // DTILE_W
+    n_tiles = n_rows * n_cols
+    K = binned.ids.shape[1]
+    assert K % GROUP == 0
+
+    gi = jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)
+    bset = tris.setup[gi]      # (nT, K, SETUP_W)
+    bplanes = planes[gi]       # (nT, K, PLANES_W)
+
+    def kernel(counts_ref, bset_ref, bpl_ref, out_ref):
+        i = pl.program_id(0)
+        cnt = counts_ref[i]
+        row = i // n_cols
+        col = i - row * n_cols
+        ybase = (row * DTILE_H).astype(jnp.float32)
+        xbase = (col * DTILE_W).astype(jnp.float32)
+        py = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 0).astype(jnp.float32) + ybase + 0.5
+        px = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 1).astype(jnp.float32) + xbase + 0.5
+
+        ngroups = pl.cdiv(cnt, GROUP)
+
+        # ---- pass 1: visibility ----
+        def grp_body(gk, carry):
+            depth, win = carry
+            base = gk * GROUP
+            blk = bset_ref[0, pl.ds(base, GROUP), :]        # (GROUP, SETUP_W)
+
+            def cf(lane):
+                return blk[:, lane][:, None, None]          # (GROUP, 1, 1)
+
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0) + base) < cnt
+            e0 = cf(S_EA) * px + cf(S_EB) * py + cf(S_EC)
+            e1 = cf(S_EA + 1) * px + cf(S_EB + 1) * py + cf(S_EC + 1)
+            e2 = cf(S_EA + 2) * px + cf(S_EB + 2) * py + cf(S_EC + 2)
+            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+            z = cf(S_ZA) * px + cf(S_ZB) * py + cf(S_ZC)
+            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+            zm = jnp.where(cov, z, -1.0)                    # (GROUP, H, W)
+
+            # last-wins argmax within the group (no lax.rev in Mosaic: pick
+            # the largest index among depth ties explicitly)
+            best_z = zm.max(axis=0)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
+            best_local = jnp.where(zm == best_z[None], gidx, -1).max(axis=0)
+            upd = (best_z >= depth) & (best_z > -1.0)
+            return (
+                jnp.where(upd, best_z, depth),
+                jnp.where(upd, base + best_local, win),
+            )
+
+        d0 = jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
+        w0 = jnp.full((DTILE_H, DTILE_W), -1, jnp.int32)
+        depth, win = jax.lax.fori_loop(0, ngroups, grp_body, (d0, w0))
+
+        # ---- pass 2: accumulate the winner's plane row per pixel ----
+        npix = DTILE_H * DTILE_W
+        win_flat = win.reshape(1, npix)
+
+        def grp2_body(gk, acc):
+            base = gk * GROUP
+            in_group = (win >= base) & (win < base + GROUP)
+
+            def with_group(acc):
+                ids = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
+                sel = (win_flat == ids).astype(jnp.float32)   # (GROUP, npix)
+                blkp = bpl_ref[0, pl.ds(base, GROUP), :]       # (GROUP, PLANES_W)
+                contrib = jax.lax.dot_general(
+                    blkp, sel,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                              # (PLANES_W, npix)
+                return acc + contrib
+
+            return jax.lax.cond(jnp.any(in_group), with_group, lambda a: a, acc)
+
+        coef = jax.lax.fori_loop(
+            0, ngroups, grp2_body, jnp.zeros((PLANES_W, npix), jnp.float32)
+        )                                                      # (PLANES_W, npix)
+
+        # ---- final: evaluate all planes once per pixel ----
+        pxf = px.reshape(1, npix)
+        pyf = py.reshape(1, npix)
+
+        def plane(off):
+            return coef[off, :] * pxf[0] + coef[off + 1, :] * pyf[0] + coef[off + 2, :]
+
+        # Channel order must match G_* indices.
+        chans = [depth.reshape(npix), plane(P_DEN)]
+        for k in range(3):
+            chans.append(plane(P_VP + 3 * k))
+        for k in range(3):
+            chans.append(plane(P_NRM + 3 * k))
+        for k in range(3):
+            chans.append(plane(P_TAN + 3 * k))
+        for k in range(2):
+            chans.append(plane(P_UV0 + 3 * k))
+        for k in range(2):
+            chans.append(plane(P_UV1 + 3 * k))
+        for k in range(4):
+            chans.append(plane(P_COL + 3 * k))
+        chans.append(coef[P_MAT, :])
+        chans.append((win >= 0).astype(jnp.float32).reshape(npix))
+        while len(chans) < GB_CH:
+            chans.append(jnp.zeros(npix, jnp.float32))
+        out = jnp.stack(chans, axis=0)
+        out_ref[0] = out.reshape(GB_CH, DTILE_H, DTILE_W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, K, SETUP_W), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, K, PLANES_W), lambda i, c: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, GB_CH, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0, 0)),
+    )
+
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
+        interpret=interpret,
+    )(binned.counts, bset, bplanes)
+
+    data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
+    data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)
+    return GBuffer(data=data)

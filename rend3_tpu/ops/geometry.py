@@ -38,6 +38,8 @@ class TriSetup(NamedTuple):
     setup: jnp.ndarray   # (V, SETUP_W) f32
     bbox: jnp.ndarray    # (V, 4) f32: xmin, ymin, xmax, ymax (pixels)
     count: jnp.ndarray   # () i32 number of valid rows
+    src: jnp.ndarray     # (V,) i32 source (clipped-table) row per survivor
+    flip: jnp.ndarray    # (V,) bool: corners 1/2 swapped for orientation
 
 
 class BinnedTris(NamedTuple):
@@ -167,7 +169,7 @@ def cull_and_setup(
         ],
         axis=1,
     )
-    return TriSetup(setup=setup, bbox=bbox, count=count)
+    return TriSetup(setup=setup, bbox=bbox, count=count, src=g, flip=flip[g])
 
 
 def bin_triangles(
@@ -177,6 +179,8 @@ def bin_triangles(
     *,
     tile_cap: int = 512,
     row_cap: Optional[int] = None,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
 ) -> BinnedTris:
     """Two-level (tile-row then tile) compaction binning.
 
@@ -185,34 +189,42 @@ def bin_triangles(
     TILE_W / TILE_H).
     """
     V = tris.setup.shape[0]
-    n_rows = height // TILE_H
-    n_cols = width // TILE_W
-    row_cap = row_cap or min(V, 1 << 15)
+    n_rows = height // tile_h
+    n_cols = width // tile_w
+    # row_cap bounds level-2 memory at (R * C * row_cap); 8k keeps it ~tens of
+    # MB at 1080p. Rows denser than this drop triangles (tracked in overflow).
+    row_cap = row_cap or min(V, 1 << 13)
 
     xmin, ymin, xmax, ymax = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
 
-    def do_row(r):
-        y0 = r * TILE_H
-        rmask = (ymax > y0) & (ymin < y0 + TILE_H)
-        row_ids, _ = _compact(rmask, row_cap)       # indices into setup table
-        gr = jnp.clip(row_ids, 0, V - 1)
-        live = row_ids >= 0
-        rxmin = jnp.where(live, xmin[gr], 1e9)
-        rxmax = jnp.where(live, xmax[gr], -1e9)
+    # Level 1 — tile rows, fully vectorized: (n_rows, V) masks, one cumsum,
+    # one scatter. (No lax.map: sequential row loops and per-row scatters are
+    # TPU-hostile; a single big scatter amortizes.)
+    rows = jnp.arange(n_rows, dtype=jnp.float32)[:, None]
+    rmask = (ymax[None, :] > rows * tile_h) & (ymin[None, :] < (rows + 1) * tile_h)  # (R, V)
+    rpos = jnp.cumsum(rmask, axis=1) - 1                                             # (R, V)
+    row_ids = jnp.full((n_rows, row_cap), -1, jnp.int32)
+    src = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (n_rows, V))
+    flat_idx = jnp.where(rmask, rpos, row_cap)
+    row_ids = row_ids.at[jnp.arange(n_rows)[:, None], flat_idx].set(src, mode="drop")
 
-        def do_col(c):
-            x0 = c * TILE_W
-            cmask = live & (rxmax > x0) & (rxmin < x0 + TILE_W)
-            pos = jnp.cumsum(cmask) - 1
-            out = jnp.full(tile_cap, -1, jnp.int32)
-            out = out.at[jnp.where(cmask, pos, tile_cap)].set(row_ids, mode="drop")
-            cnt = cmask.sum().astype(jnp.int32)
-            return out, cnt
+    # Level 2 — columns within each row: (R, C, row_cap) masks, one scatter.
+    live = row_ids >= 0                                       # (R, cap)
+    gr = jnp.clip(row_ids, 0, V - 1)
+    rxmin = jnp.where(live, xmin[gr], 1e9)                    # (R, cap)
+    rxmax = jnp.where(live, xmax[gr], -1e9)
+    cols = jnp.arange(n_cols, dtype=jnp.float32)[None, :, None]
+    cmask = (rxmax[:, None, :] > cols * tile_w) & (rxmin[:, None, :] < (cols + 1) * tile_w)  # (R, C, cap)
+    cpos = jnp.cumsum(cmask, axis=2) - 1
+    counts = cmask.sum(axis=2).astype(jnp.int32)              # (R, C)
+    ids = jnp.full((n_rows, n_cols, tile_cap), -1, jnp.int32)
+    cflat = jnp.where(cmask, cpos, tile_cap)
+    ids = ids.at[
+        jnp.arange(n_rows)[:, None, None],
+        jnp.arange(n_cols)[None, :, None],
+        cflat,
+    ].set(jnp.broadcast_to(row_ids[:, None, :], cmask.shape), mode="drop")
 
-        outs, cnts = jax.vmap(do_col)(jnp.arange(n_cols))
-        return outs, cnts
-
-    ids, counts = jax.lax.map(do_row, jnp.arange(n_rows))  # (n_rows, n_cols, K), (n_rows, n_cols)
     ids = ids.reshape(n_rows * n_cols, tile_cap)
     counts = counts.reshape(n_rows * n_cols)
     overflow = jnp.maximum(counts - tile_cap, 0).sum()

@@ -1,0 +1,82 @@
+"""Deferred lighting over the G-buffer.
+
+Pure image-space pass: perspective divide of the numerator G-buffer, material
+table lookup via one-hot matmul on the MXU (per-pixel gathers are ~20x
+slower than a one-hot contraction on TPU), uv gradients as screen-space
+finite differences (hardware quad-derivative equivalent), then the exact
+opaque.wgsl lighting math shared with the forward path (_shade_pixels)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import deferred as D
+from .shade import DirLightArrays, FrameUniformsArrays, PbrMaterialTable, PointLightArrays, _shade_pixels
+
+__all__ = ["light_gbuffer"]
+
+
+def _onehot_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """idx (N,) int32, table (M, D) -> (N, D) via MXU one-hot contraction."""
+    M = table.shape[0]
+    oh = jax.nn.one_hot(idx, M, dtype=jnp.float32)
+    return jax.lax.dot_general(
+        oh, table.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def light_gbuffer(
+    gbuf: D.GBuffer,
+    materials: PbrMaterialTable,
+    dir_lights: DirLightArrays,
+    point_lights: PointLightArrays,
+    shadow_atlas: jnp.ndarray,
+    uniforms: FrameUniformsArrays,
+    background: jnp.ndarray,        # (H, W, 4)
+    textures=None,
+) -> jnp.ndarray:
+    """Returns (H, W, 4) linear HDR."""
+    CH, H, W = gbuf.data.shape
+    N = H * W
+    g = gbuf.data.reshape(CH, N)
+
+    hit = g[D.G_HIT] > 0.0
+    den = g[D.G_DEN]
+    inv_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
+
+    def ch(off, n):
+        return (g[off : off + n] * inv_den[None]).T  # (N, n)
+
+    view_pos = ch(D.G_VP, 3)
+    nrm = ch(D.G_NRM, 3)
+    tan = ch(D.G_TAN, 3)
+    uv0 = ch(D.G_UV0, 2)
+    vcol = ch(D.G_COL, 4)
+
+    midx = jnp.round(g[D.G_MAT]).astype(jnp.int32)
+    midx = jnp.clip(midx, 0, materials.data.shape[0] - 1)
+    mdata = _onehot_lookup(midx, materials.data)
+    mflags = jnp.round(_onehot_lookup(midx, materials.flags[:, None].astype(jnp.float32))[:, 0]).astype(jnp.int32)
+
+    duv = None
+    mtex = None
+    if textures is not None:
+        mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
+        # Screen-space uv derivatives (quad-derivative equivalent).
+        uv_img = uv0.reshape(H, W, 2)
+        dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
+        dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
+        duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+
+    out_rgb, out_a = _shade_pixels(
+        mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
+        dir_lights, point_lights, shadow_atlas, uniforms,
+    )
+    rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
+    rgba = jnp.where(hit[:, None], rgba, background.reshape(N, 4))
+    return rgba.reshape(H, W, 4)

@@ -352,16 +352,6 @@ class BaseRenderGraph:
             valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
             clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp)
             clipped = transform_ops.clip_triangles(clip, valid)
-            vis = raster_scene(
-                clipped.clip,
-                clipped.valid,
-                width,
-                height,
-                cull_mode=raster_ops.CullMode.BACK,
-                front_is_cw=front_cw,
-                sample_offsets=sample_offsets,
-                backend=backend,
-            )
 
             # ---- background: clear color, then skybox where provided ----
             nsamp = len(sample_offsets)
@@ -371,27 +361,69 @@ class BaseRenderGraph:
                     cube_textures, skybox_slot, uniforms, width, height, sample_offsets
                 )
 
-            # ---- deferred shading ----
-            img = shade_ops.shade_deferred(
-                vis,
-                clipped,
-                tri_vlocal,
-                tri_obj,
-                geo,
-                bases,
-                mv,
-                material_slots,
-                materials,
-                dir_lights,
-                point_lights,
-                shadow_atlas,
-                uniforms,
-                width,
-                height,
-                sample_offsets,
-                textures=textures if has_tex else None,
-                background=background,
-            )
+            use_deferred = backend != "reference" and samples == 1
+            if use_deferred:
+                # Fused raster+resolve -> G-buffer -> elementwise lighting
+                # (zero per-pixel gathers; see ops/deferred.py).
+                from ..ops import deferred as def_ops
+                from ..ops import lighting as light_ops
+
+                wp = _round_up(width, def_ops.DTILE_W)
+                hp = _round_up(height, def_ops.DTILE_H)
+                tris = geom_ops.cull_and_setup(
+                    clipped.clip, clipped.valid, width, height,
+                    cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
+                )
+                planes = def_ops.attribute_planes(
+                    tris, clipped.clip, clipped.bary, clipped.orig,
+                    tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
+                )
+                binned = geom_ops.bin_triangles(
+                    tris, wp, hp, tile_cap=min(clipped.clip.shape[0], 2048),
+                    tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                )
+                gbuf = def_ops.raster_resolve(
+                    tris, planes, binned, wp, hp, interpret=(backend != "pallas")
+                )
+                gbuf = def_ops.GBuffer(data=gbuf.data[:, :height, :width])
+                img = light_ops.light_gbuffer(
+                    gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
+                    background[0], textures=textures if has_tex else None,
+                )[None]
+                vis = raster_ops.VisBuffer(
+                    depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
+                )
+            else:
+                vis = raster_scene(
+                    clipped.clip,
+                    clipped.valid,
+                    width,
+                    height,
+                    cull_mode=raster_ops.CullMode.BACK,
+                    front_is_cw=front_cw,
+                    sample_offsets=sample_offsets,
+                    backend=backend,
+                )
+                img = shade_ops.shade_deferred(
+                    vis,
+                    clipped,
+                    tri_vlocal,
+                    tri_obj,
+                    geo,
+                    bases,
+                    mv,
+                    material_slots,
+                    materials,
+                    dir_lights,
+                    point_lights,
+                    shadow_atlas,
+                    uniforms,
+                    width,
+                    height,
+                    sample_offsets,
+                    textures=textures if has_tex else None,
+                    background=background,
+                )
 
             # ---- transparent pass (sorted, blended) ----
             img = _blend_pass(

@@ -61,7 +61,9 @@ def load_png(path: str) -> np.ndarray:
 def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     arr = np.asarray(img)
     if arr.shape[-1] == 4:
         arr = arr[..., :3]
