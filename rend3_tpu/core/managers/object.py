@@ -129,20 +129,30 @@ class ObjectManager:
 
         Returns (opaque (T,4) [v0 v1 v2 obj], blend list of per-object
         (tris (t,3), obj_idx, arch) for per-frame sorting)."""
-        opaque_parts: List[np.ndarray] = []
+        opaque_rows: List[Tuple[int, int, int]] = []
         blend_items: List[Tuple[np.ndarray, int]] = []
+        total_opaque = 0
         for idx, rec in sorted(self.data.items()):
             start, count = rec.index_range
-            tris = mesh_mgr._indices[start : start + count].reshape(-1, 3)
             if rec.sorting_reason == SortingReason.REQUIREMENT:
-                blend_items.append((tris, idx))
+                blend_items.append((mesh_mgr._indices[start : start + count].reshape(-1, 3), idx))
             else:
-                packed = np.concatenate(
-                    [tris, np.full((len(tris), 1), idx, dtype=np.int32)], axis=1
-                )
-                opaque_parts.append(packed)
-        if opaque_parts:
-            opaque = np.concatenate(opaque_parts, axis=0).astype(np.int32)
+                opaque_rows.append((start, count, idx))
+                total_opaque += count // 3
+
+        from ...native import build_tri_table as native_tri_table
+
+        if opaque_rows:
+            rows = np.asarray(opaque_rows, dtype=np.int64)
+            opaque = native_tri_table(rows, mesh_mgr._indices, total_opaque)
+            if opaque is None:  # numpy fallback
+                parts = []
+                for start, count, idx in opaque_rows:
+                    tris = mesh_mgr._indices[start : start + count].reshape(-1, 3)
+                    parts.append(
+                        np.concatenate([tris, np.full((len(tris), 1), idx, dtype=np.int32)], axis=1)
+                    )
+                opaque = np.concatenate(parts, axis=0).astype(np.int32)
         else:
             opaque = np.zeros((0, 4), dtype=np.int32)
         return opaque, blend_items

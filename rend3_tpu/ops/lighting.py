@@ -39,6 +39,7 @@ def light_gbuffer(
     uniforms: FrameUniformsArrays,
     background: jnp.ndarray,        # (H, W, 4)
     textures=None,
+    shadow_values=None,             # optional (L, H, W) precomputed factors
 ) -> jnp.ndarray:
     """Returns (H, W, 4) linear HDR."""
     CH, H, W = gbuf.data.shape
@@ -73,9 +74,10 @@ def light_gbuffer(
         dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
         duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
 
+    sv = shadow_values.reshape(shadow_values.shape[0], N) if shadow_values is not None else None
     out_rgb, out_a = _shade_pixels(
         mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
-        dir_lights, point_lights, shadow_atlas, uniforms,
+        dir_lights, point_lights, shadow_atlas, uniforms, shadow_values=sv,
     )
     rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
     rgba = jnp.where(hit[:, None], rgba, background.reshape(N, 4))

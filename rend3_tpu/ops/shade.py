@@ -405,6 +405,7 @@ def _shade_pixels(
     mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
     dir_lights: DirLightArrays, point_lights: PointLightArrays,
     shadow_atlas, uniforms: FrameUniformsArrays,
+    shadow_values=None,  # optional (L, N) precomputed shadow factors
 ):
     """The get_pixel_data + lighting-loop body over flat (N,) pixels."""
     N = mdata.shape[0]
@@ -544,27 +545,30 @@ def _shade_pixels(
     view_pos4 = jnp.concatenate([view_pos, jnp.ones((N, 1))], axis=-1)
     world_pos4 = view_pos4 @ uniforms.inv_view.T
     for i in range(L):
-        vp = dir_lights.view_proj[i]
-        shadow_ndc = (world_pos4 @ vp.T)[:, :3]
-        shadow_flipped = shadow_ndc[:, :2] * 0.5 + 0.5
-        shadow_local = jnp.stack([shadow_flipped[:, 0], 1.0 - shadow_flipped[:, 1]], axis=-1)
+        if shadow_values is not None:
+            shadow_value = shadow_values[i][:, None]
+        else:
+            vp = dir_lights.view_proj[i]
+            shadow_ndc = (world_pos4 @ vp.T)[:, :3]
+            shadow_flipped = shadow_ndc[:, :2] * 0.5 + 0.5
+            shadow_local = jnp.stack([shadow_flipped[:, 0], 1.0 - shadow_flipped[:, 1]], axis=-1)
 
-        top_left = dir_lights.atlas_offset[i]
-        top_right = top_left + dir_lights.atlas_size[i]
-        shadow_coords = top_left + (top_right - top_left) * shadow_local
-        border = dir_lights.inv_resolution[i] * 1.5
-        tl_b = top_left + border
-        tr_b = top_right - border
+            top_left = dir_lights.atlas_offset[i]
+            top_right = top_left + dir_lights.atlas_size[i]
+            shadow_coords = top_left + (top_right - top_left) * shadow_local
+            border = dir_lights.inv_resolution[i] * 1.5
+            tl_b = top_left + border
+            tr_b = top_right - border
 
-        # NOTE: reference uses any() here, reproduced for parity (opaque.wgsl).
-        in_bounds = (
-            (shadow_flipped >= tl_b[None]).any(axis=-1)
-            & (shadow_flipped <= tr_b[None]).any(axis=-1)
-            & (shadow_ndc[:, 2] >= 0.0)
-            & (shadow_ndc[:, 2] <= 1.0)
-        )
-        pcf = shadow_sample_pcf5(shadow_atlas, shadow_coords, shadow_ndc[:, 2])
-        shadow_value = jnp.where(in_bounds, pcf, 1.0)[:, None]
+            # NOTE: reference uses any() here, reproduced for parity (opaque.wgsl).
+            in_bounds = (
+                (shadow_flipped >= tl_b[None]).any(axis=-1)
+                & (shadow_flipped <= tr_b[None]).any(axis=-1)
+                & (shadow_ndc[:, 2] >= 0.0)
+                & (shadow_ndc[:, 2] <= 1.0)
+            )
+            pcf = shadow_sample_pcf5(shadow_atlas, shadow_coords, shadow_ndc[:, 2])
+            shadow_value = jnp.where(in_bounds, pcf, 1.0)[:, None]
 
         l = _normalize((view3 @ (-dir_lights.direction[i]))[None, :])
         contrib = surface_shading(

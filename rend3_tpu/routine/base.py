@@ -172,7 +172,9 @@ class BaseRenderGraph:
             if blend_parts
             else np.zeros((0, 4), dtype=np.int32)
         )
-        bcap = _pad_pow2(max(1, len(blend)), minimum=4)
+        # No padding slots when there are no blend triangles: every padded
+        # slot costs a full-image shading step in the sequential blend scan.
+        bcap = _pad_pow2(len(blend), minimum=4) if len(blend) else 0
         blend_vlocal = np.zeros((bcap, 3), dtype=np.int32)
         blend_obj = np.full(bcap, -1, dtype=np.int32)
         if len(blend):
@@ -327,9 +329,14 @@ class BaseRenderGraph:
         ):
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
+            use_deferred = backend != "reference" and samples == 1
+            # Deferred mode resolves shadows without a shadow map (ops/shadow.py);
+            # the atlas is only rasterized for the forward paths that sample it.
+            need_atlas = (not use_deferred) or blend_vlocal.shape[0] > 0
+
             # ---- shadow passes (depth-only, cull FRONT faces) ----
             shadow_atlas = jnp.zeros((ah, aw), jnp.float32)
-            for k, (li, (ox, oy), size) in enumerate(plan):
+            for k, (li, (ox, oy), size) in enumerate(plan if need_atlas else ()):
                 svp = dir_lights.view_proj[k]
                 _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
                 svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
@@ -361,13 +368,14 @@ class BaseRenderGraph:
                     cube_textures, skybox_slot, uniforms, width, height, sample_offsets
                 )
 
-            use_deferred = backend != "reference" and samples == 1
             if use_deferred:
                 # Fused raster+resolve -> G-buffer -> elementwise lighting
                 # (zero per-pixel gathers; see ops/deferred.py).
                 from ..ops import deferred as def_ops
                 from ..ops import lighting as light_ops
+                from ..ops import shadow as shadow_ops
 
+                interp = backend != "pallas"
                 wp = _round_up(width, def_ops.DTILE_W)
                 hp = _round_up(height, def_ops.DTILE_H)
                 tris = geom_ops.cull_and_setup(
@@ -382,13 +390,69 @@ class BaseRenderGraph:
                     tris, wp, hp, tile_cap=min(clipped.clip.shape[0], 2048),
                     tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                 )
-                gbuf = def_ops.raster_resolve(
-                    tris, planes, binned, wp, hp, interpret=(backend != "pallas")
+                gbuf_p = def_ops.raster_resolve(
+                    tris, planes, binned, wp, hp, interpret=interp
                 )
-                gbuf = def_ops.GBuffer(data=gbuf.data[:, :height, :width])
+
+                # ---- map-free shadow resolve (exact PCF5, zero gathers) ----
+                shadow_values = None
+                if plan:
+                    gp = gbuf_p.data
+                    den = gp[def_ops.G_DEN]
+                    invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
+                    vp_img = gp[def_ops.G_VP : def_ops.G_VP + 3] * invden[None]  # (3, hp, wp)
+                    hitp = gp[def_ops.G_HIT] > 0.0
+                    iv = uniforms.inv_view
+                    world = jnp.einsum("ab,bhw->ahw", iv[:3, :3], vp_img) + iv[:3, 3][:, None, None]
+                    world4 = jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
+
+                    svals = []
+                    for k, (li, (ox, oy), size) in enumerate(plan):
+                        svp = dir_lights.view_proj[k]
+                        ndc = jnp.einsum("ab,bhw->ahw", svp, world4)
+                        ndcw = jnp.where(ndc[3] == 0.0, 1.0, ndc[3])
+                        ndc_xyz = ndc[:3] / ndcw[None]
+                        sx = (ndc_xyz[0] * 0.5 + 0.5) * size
+                        sy = (0.5 - ndc_xyz[1] * 0.5) * size
+                        ref = ndc_xyz[2]
+
+                        _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
+                        svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
+                        sclip = transform_ops.gather_tri_clip(
+                            geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp
+                        )
+                        sclipped = transform_ops.clip_triangles(sclip, svalid)
+                        stris = geom_ops.cull_and_setup(
+                            sclipped.clip, sclipped.valid, size, size,
+                            cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
+                        )
+                        occ = shadow_ops.shadow_occlusion(
+                            stris, sx, sy, hitp, wp, hp, interpret=interp
+                        )
+                        pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
+
+                        # Reference bounds expressions (opaque.wgsl, incl. the
+                        # any() quirk), in per-light map uv space.
+                        flipped_x = ndc_xyz[0] * 0.5 + 0.5
+                        flipped_y = ndc_xyz[1] * 0.5 + 0.5
+                        border = 1.5 / size
+                        in_bounds = (
+                            ((flipped_x >= border) | (flipped_y >= border))
+                            & ((flipped_x <= 1.0 - border) | (flipped_y <= 1.0 - border))
+                            & (ref >= 0.0)
+                            & (ref <= 1.0)
+                        )
+                        svals.append(jnp.where(in_bounds, pcf, 1.0))
+                    L = dir_lights.mask.shape[0]
+                    while len(svals) < L:
+                        svals.append(jnp.ones((hp, wp), jnp.float32))
+                    shadow_values = jnp.stack(svals)[:, :height, :width]
+
+                gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
                 img = light_ops.light_gbuffer(
                     gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
                     background[0], textures=textures if has_tex else None,
+                    shadow_values=shadow_values,
                 )[None]
                 vis = raster_ops.VisBuffer(
                     depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)

@@ -85,6 +85,12 @@ class Mesh:
         Left-handed uses edge1 x edge2; right-handed the reverse.
         """
         positions = self.attributes[attr.POSITION.name]
+        from ..native import calculate_normals as _native_normals
+
+        native = _native_normals(positions, self.indices, handedness == Handedness.LEFT)
+        if native is not None:
+            self.attributes[attr.NORMAL.name] = native
+            return
         normals = self.attributes.get(attr.NORMAL.name)
         if normals is None or zeroed:
             normals = np.zeros((self.vertex_count, 3), dtype=np.float32)
@@ -112,6 +118,12 @@ class Mesh:
         positions = self.attributes[attr.POSITION.name]
         normals = self.attributes[attr.NORMAL.name]
         uvs = self.attributes[attr.TEXTURE_COORDINATES_0.name]
+        from ..native import calculate_tangents as _native_tangents
+
+        native = _native_tangents(positions, normals, uvs, self.indices)
+        if native is not None:
+            self.attributes[attr.TANGENT.name] = native
+            return
         tangents = self.attributes.get(attr.TANGENT.name)
         if tangents is None or zeroed:
             tangents = np.zeros((self.vertex_count, 3), dtype=np.float32)
