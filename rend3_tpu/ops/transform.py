@@ -128,13 +128,49 @@ def _masked_set(buf, idx, val, mask):
     return jnp.where(onehot[:, :, None], val[:, None, :], buf)
 
 
-def clip_triangles(clip: jnp.ndarray, tri_valid: jnp.ndarray) -> ClippedTris:
-    """Clip each triangle against w >= eps and the reverse-Z near plane
-    (w - z >= 0), emitting a triangle fan of <= 3 triangles per input into a
-    3x static table.
+def clip_triangles(clip: jnp.ndarray, tri_valid: jnp.ndarray, clip_cap: int = 1024) -> ClippedTris:
+    """Near-plane clipping with crossing-only expansion.
+
+    Triangles fully inside the clip volume (w > eps and w - z >= 0 at every
+    corner) pass through untouched; fully-outside ones are dropped; only the
+    (rare) crossing triangles are compacted into a small side set and run
+    through Sutherland-Hodgman, appending <= 3 fan triangles each. Output
+    table size: T + 3*clip_cap (instead of 3T), which keeps the setup /
+    planes tables and their binned gathers small.
 
     clip: (T, 3, 4); tri_valid: (T,) bool
     """
+    T = clip.shape[0]
+    clip_cap = min(clip_cap, T)
+
+    d = clip[..., 3] - clip[..., 2]          # near-plane signed distance
+    weps = clip[..., 3] > W_EPS
+    inside = (d >= 0.0) & weps               # per corner
+    all_in = inside.all(axis=-1)
+    any_in = inside.any(axis=-1)
+    crossing = tri_valid & any_in & ~all_in
+
+    # Compact the crossing subset.
+    pos = jnp.cumsum(crossing) - 1
+    ids = jnp.full(clip_cap, -1, jnp.int32)
+    ids = ids.at[jnp.where(crossing, pos, clip_cap)].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop"
+    )
+    g = jnp.clip(ids, 0, T - 1)
+    sub = _clip_triangles_full(clip[g], ids >= 0)
+
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=clip.dtype), (T, 3, 3))
+    return ClippedTris(
+        clip=jnp.concatenate([clip, sub.clip], axis=0),
+        orig=jnp.concatenate([jnp.arange(T, dtype=jnp.int32), g[sub.orig]], axis=0),
+        bary=jnp.concatenate([eye3, sub.bary], axis=0),
+        valid=jnp.concatenate([tri_valid & all_in, sub.valid], axis=0),
+    )
+
+
+def _clip_triangles_full(clip: jnp.ndarray, tri_valid: jnp.ndarray) -> ClippedTris:
+    """Full Sutherland-Hodgman against w >= eps and w - z >= 0, 3x expansion.
+    Used on the compacted crossing subset only."""
     T = clip.shape[0]
     # 5-slot polygon buffers (3 verts + up to 2 plane intersections over 2 planes
     # never exceeds 5 simultaneously live vertices).

@@ -387,7 +387,7 @@ class BaseRenderGraph:
                     tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
                 )
                 binned = geom_ops.bin_triangles(
-                    tris, wp, hp, tile_cap=min(clipped.clip.shape[0], 2048),
+                    tris, wp, hp, tile_cap=min(clipped.clip.shape[0], 1024),
                     tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                 )
                 gbuf_p = def_ops.raster_resolve(
