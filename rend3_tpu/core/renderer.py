@@ -217,7 +217,9 @@ class Renderer:
         self.instructions.swap()
 
     def evaluate_instructions(self) -> InstructionEvaluationOutput:
-        with self.lock:
+        from ..utils.profiling import scope
+
+        with scope("Renderer::evaluate_instructions"), self.lock:
             return self._evaluate_locked()
 
     def _evaluate_locked(self) -> InstructionEvaluationOutput:

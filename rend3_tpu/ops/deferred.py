@@ -194,6 +194,82 @@ def attribute_planes(
     return planes
 
 
+def raster_depth(
+    tris: TriSetup,
+    binned: BinnedTris,
+    width: int,
+    height: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Depth-only grouped raster (pass 1 of raster_resolve): (H, W) f32.
+
+    Used for the Hi-Z predicted-depth prepass (reference: two-phase culling,
+    base.rs:155-172) and fast shadow-map rendering."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = height // DTILE_H
+    n_cols = width // DTILE_W
+    n_tiles = n_rows * n_cols
+    K = binned.ids.shape[1]
+    K = max(GROUP, -(-K // GROUP) * GROUP)
+    if K != binned.ids.shape[1]:
+        binned = binned._replace(
+            ids=jnp.pad(binned.ids, ((0, 0), (0, K - binned.ids.shape[1])), constant_values=-1)
+        )
+    bset = tris.setup[jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)]
+
+    def kernel(counts_ref, bset_ref, depth_ref):
+        i = pl.program_id(0)
+        cnt = counts_ref[i]
+        row = i // n_cols
+        col = i - row * n_cols
+        py = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 0).astype(jnp.float32) + (
+            row * DTILE_H
+        ).astype(jnp.float32) + 0.5
+        px = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 1).astype(jnp.float32) + (
+            col * DTILE_W
+        ).astype(jnp.float32) + 0.5
+
+        def grp(gk, depth):
+            base = gk * GROUP
+            blk = bset_ref[0, pl.ds(base, GROUP), :]
+
+            def cf(lane):
+                return blk[:, lane][:, None, None]
+
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0) + base) < cnt
+            e0 = cf(S_EA) * px + cf(S_EB) * py + cf(S_EC)
+            e1 = cf(S_EA + 1) * px + cf(S_EB + 1) * py + cf(S_EC + 1)
+            e2 = cf(S_EA + 2) * px + cf(S_EB + 2) * py + cf(S_EC + 2)
+            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+            z = cf(S_ZA) * px + cf(S_ZB) * py + cf(S_ZC)
+            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+            return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0))
+
+        depth = jax.lax.fori_loop(
+            0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
+        )
+        depth_ref[0] = depth
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, K, SETUP_W), lambda i, c: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0)),
+    )
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
+        interpret=interpret,
+    )(binned.counts, bset)
+    return tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
+
+
 def raster_resolve(
     tris: TriSetup,
     planes: jnp.ndarray,    # (V, PLANES_W)

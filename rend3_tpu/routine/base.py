@@ -111,6 +111,10 @@ class BaseRenderGraph:
         self.renderer = renderer
         self._program_cache: Dict[tuple, object] = {}
         self._tri_cache = None  # (opaque np (T,4), blend items)
+        # Two-phase Hi-Z occlusion culling (reference: base.rs:155-172):
+        # carried predicted-visible triangle mask across frames.
+        self.occlusion_culling = False
+        self._prev_visible_mask = None
 
     # -- host-side frame assembly ----------------------------------------------
 
@@ -123,7 +127,12 @@ class BaseRenderGraph:
     ) -> np.ndarray:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
         program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
-        return np.asarray(jax.device_get(program(*args)))
+        out = program(*args)
+        if isinstance(out, tuple):
+            img, mask = out
+            self._prev_visible_mask = mask
+            return np.asarray(jax.device_get(img))
+        return np.asarray(jax.device_get(out))
 
     def build_frame_callable(
         self,
@@ -134,6 +143,12 @@ class BaseRenderGraph:
     ):
         """Assemble this frame's (jitted program, input args). Host-side work
         only; calling program(*args) runs the whole frame on device."""
+        from ..utils.profiling import scope as _scope
+
+        with _scope("BaseRenderGraph::build_frame_callable"):
+            return self._build_frame_callable_inner(eval_output, target, settings, skybox_slot)
+
+    def _build_frame_callable_inner(self, eval_output, target, settings, skybox_slot):
         r = self.renderer
         om = r.object_manager
         cam = r.camera
@@ -249,6 +264,8 @@ class BaseRenderGraph:
         # Skinning inputs (before geometry is consumed).
         skin_inputs = skin_ops.build_skin_inputs(r.skeleton_manager, r.mesh_manager)
 
+        backend = default_raster_backend()
+        occ = self.occlusion_culling and target.samples == 1 and backend != "reference"
         key = (
             target.width,
             target.height,
@@ -258,12 +275,22 @@ class BaseRenderGraph:
             r.handedness,
             textures is not None,
             cube_textures is not None and skybox_slot is not None,
-            default_raster_backend(),
+            backend,
+            occ,
         )
         program = self._program_cache.get(key)
         if program is None:
             program = self._build_program(key)
             self._program_cache[key] = program
+
+        # Predicted-visible mask for two-phase occlusion culling.
+        if occ:
+            pm = self._prev_visible_mask
+            if pm is None or pm.shape[0] != tcap:
+                pm = jnp.ones(tcap, bool)
+            prev_mask = pm
+        else:
+            prev_mask = jnp.ones(1, bool)
 
         geo = r.mesh_manager.evaluate()
         if skin_inputs is not None:
@@ -292,13 +319,14 @@ class BaseRenderGraph:
             textures,
             cube_textures,
             np.int32(skybox_slot + 1) if skybox_slot is not None else np.int32(0),
+            prev_mask,
         )
         return program, args
 
     # -- the jitted frame program ----------------------------------------------
 
     def _build_program(self, key):
-        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox, backend) = key
+        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox, backend, occlusion) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -326,6 +354,7 @@ class BaseRenderGraph:
             textures,
             cube_textures,
             skybox_slot,
+            prev_mask,
         ):
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
@@ -378,10 +407,41 @@ class BaseRenderGraph:
                 interp = backend != "pallas"
                 wp = _round_up(width, def_ops.DTILE_W)
                 hp = _round_up(height, def_ops.DTILE_H)
+
+                hiz_pyramid = None
+                if occlusion:
+                    # Phase 1 (reference two-phase culling, base.rs:155-172):
+                    # rasterize last frame's predicted-visible set depth-only,
+                    # build the Hi-Z min pyramid, then occlusion-cull below.
+                    from ..ops import hi_z as hiz_ops
+
+                    pvalid = clipped.valid & prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
+                    ptris = geom_ops.cull_and_setup(
+                        clipped.clip, pvalid, width, height,
+                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
+                    )
+                    pbinned = geom_ops.bin_triangles(
+                        ptris, wp, hp, tile_cap=min(clipped.clip.shape[0], 1024),
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                    )
+                    pdepth = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
+                    hiz_pyramid = hiz_ops.build_pyramid(pdepth)
+
                 tris = geom_ops.cull_and_setup(
                     clipped.clip, clipped.valid, width, height,
                     cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
+                    hiz=hiz_pyramid,
                 )
+                if occlusion:
+                    # Next frame's predicted set = this frame's cull survivors
+                    # (the per-workgroup culling-result store of cull.wgsl).
+                    live = jnp.arange(tris.setup.shape[0]) < tris.count
+                    orig_ids = clipped.orig[tris.src]
+                    new_mask = (
+                        jnp.zeros(prev_mask.shape[0], bool)
+                        .at[jnp.where(live, orig_ids, prev_mask.shape[0])]
+                        .set(True, mode="drop")
+                    )
                 planes = def_ops.attribute_planes(
                     tris, clipped.clip, clipped.bary, clipped.orig,
                     tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
@@ -500,7 +560,10 @@ class BaseRenderGraph:
             # ---- tonemapping blit: f16 HDR intermediate -> resolve -> sRGB ----
             img = blit_ops.f16_roundtrip(img)
             resolved = blit_ops.resolve_samples(img)
-            return blit_ops.hdr_to_srgb_u8(resolved)
+            out = blit_ops.hdr_to_srgb_u8(resolved)
+            if occlusion:
+                return out, new_mask
+            return out
 
         return jax.jit(frame)
 
