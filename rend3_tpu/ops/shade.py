@@ -575,6 +575,9 @@ def _shade_pixels(
             jnp.broadcast_to(l, view_pos.shape), dir_lights.color[i][None],
             normal, f0, roughness, diffuse_color, v, shadow_value * ao,
         )
+        # GPU max() semantics drop the NaN produced by the Smith visibility
+        # term at nol==0 with roughness 0; emulate (jnp.maximum propagates).
+        contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
         color = color + jnp.where(dir_lights.mask[i], contrib, 0.0)
 
     P = point_lights.mask.shape[0]
@@ -588,9 +591,9 @@ def _shade_pixels(
         att = inv_s2 * inv_s2 / (1.0 + s2)
         intensity = point_lights.color[i][None] * att
         l = delta / jnp.where(d == 0.0, 1.0, d)
-        contrib = jnp.maximum(
-            surface_shading(l, intensity, normal, f0, roughness, diffuse_color, v, ao), 0.0
-        )
+        contrib = surface_shading(l, intensity, normal, f0, roughness, diffuse_color, v, ao)
+        # reference: max(contrib, 0) — wgsl max() also swallows NaN.
+        contrib = jnp.maximum(jnp.where(jnp.isfinite(contrib), contrib, 0.0), 0.0)
         color = color + jnp.where(point_lights.mask[i], contrib, 0.0)
 
     ambient = uniforms.ambient[None] * albedo

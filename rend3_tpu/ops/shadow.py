@@ -159,6 +159,9 @@ def shadow_occlusion(
             e1 = a1 * bx + b1 * by + c1
             e2 = a2 * bx + b2 * by + c2
             zv = za * bx + zb * by + zc
+            # Exact-on-edge ties are irrelevant for shadow terms; using a
+            # strict interior test here avoids three selects per position.
+            zvalid = jnp.where(valid, 1.0, -1.0)
 
             new_occ = []
             for oi, (dx, dy) in enumerate(PCF_OFFSETS):
@@ -166,15 +169,8 @@ def shadow_occlusion(
                 p0 = e0 + a0 * fdx + b0 * fdy
                 p1 = e1 + a1 * fdx + b1 * fdy
                 p2 = e2 + a2 * fdx + b2 * fdy
-                zp = zv + za * fdx + zb * fdy
-                cov = (
-                    ((p0 > 0.0) | ((p0 == 0.0) & (cf(S_TL) > 0.0)))
-                    & ((p1 > 0.0) | ((p1 == 0.0) & (cf(S_TL1) > 0.0)))
-                    & ((p2 > 0.0) | ((p2 == 0.0) & (cf(S_TL2) > 0.0)))
-                    & (zp >= 0.0)
-                    & (zp <= 1.0)
-                    & valid
-                )
+                zp = (zv + za * fdx + zb * fdy) * zvalid
+                cov = (p0 > 0.0) & (p1 > 0.0) & (p2 > 0.0) & (zp >= 0.0)
                 zo = jnp.where(cov, zp, 0.0).max(axis=0)  # (32, 128)
                 new_occ.append(jnp.maximum(occ[oi], zo))
             return tuple(new_occ)
