@@ -455,8 +455,12 @@ class BaseRenderGraph:
                 )
 
                 # ---- map-free shadow resolve (exact PCF5, zero gathers) ----
-                shadow_values = None
-                if plan:
+                # Always precomputed in deferred mode: masked light slots get
+                # 1.0, so the lighting pass never touches the gather-PCF path.
+                if not plan:
+                    Lcap = dir_lights.mask.shape[0]
+                    shadow_values = jnp.ones((Lcap, hp, wp), jnp.float32)[:, :height, :width]
+                else:
                     gp = gbuf_p.data
                     den = gp[def_ops.G_DEN]
                     invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
