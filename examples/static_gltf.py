@@ -48,8 +48,12 @@ class StaticGltfExample(framework.App):
         builder = builder.with_flip_winding_order()
         mesh_handle = r.add_mesh(builder.build())
 
-        base_color = file.json["materials"][prim["material"]]["pbrMetallicRoughness"].get(
-            "baseColorFactor", [1, 1, 1, 1]
+        mats = file.json.get("materials", [])
+        mi = prim.get("material")
+        base_color = (
+            mats[mi].get("pbrMetallicRoughness", {}).get("baseColorFactor", [1, 1, 1, 1])
+            if mi is not None and mi < len(mats)
+            else [1, 1, 1, 1]
         )
         material = r.add_material(PbrMaterial(albedo=AlbedoComponent.new_value(base_color)))
 

@@ -220,40 +220,39 @@ def raster_depth(
         )
     bset = tris.setup[jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)]
 
+    npix_flat = DTILE_H * DTILE_W
+
     def kernel(counts_ref, bset_ref, depth_ref):
         i = pl.program_id(0)
         cnt = counts_ref[i]
         row = i // n_cols
         col = i - row * n_cols
-        py = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 0).astype(jnp.float32) + (
-            row * DTILE_H
-        ).astype(jnp.float32) + 0.5
-        px = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 1).astype(jnp.float32) + (
-            col * DTILE_W
-        ).astype(jnp.float32) + 0.5
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_flat), 1)
+        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
+        pyf = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
 
         def grp(gk, depth):
             base = gk * GROUP
             blk = bset_ref[0, pl.ds(base, GROUP), :]
 
-            def cf(lane):
-                return blk[:, lane][:, None, None]
+            def cf(lane_idx):
+                return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
 
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0) + base) < cnt
-            e0 = cf(S_EA) * px + cf(S_EB) * py + cf(S_EC)
-            e1 = cf(S_EA + 1) * px + cf(S_EB + 1) * py + cf(S_EC + 1)
-            e2 = cf(S_EA + 2) * px + cf(S_EB + 2) * py + cf(S_EC + 2)
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
+            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
+            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
             c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
             c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
             c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-            z = cf(S_ZA) * px + cf(S_ZB) * py + cf(S_ZC)
+            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
             cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-            return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0))
+            return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0, keepdims=True))
 
         depth = jax.lax.fori_loop(
-            0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
+            0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((1, npix_flat), jnp.float32)
         )
-        depth_ref[0] = depth
+        depth_ref[0] = depth.reshape(DTILE_H, DTILE_W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -278,6 +277,7 @@ def raster_resolve(
     height: int,
     *,
     interpret: bool = False,
+    _skip_resolve: bool = False,  # debug: pass-1 only
 ) -> GBuffer:
     """The fused raster + resolve Pallas kernel over (32, 128) tiles.
 
@@ -300,62 +300,75 @@ def raster_resolve(
     bset = tris.setup[gi]      # (nT, K, SETUP_W)
     bplanes = planes[gi]       # (nT, K, PLANES_W)
 
-    def kernel(counts_ref, bset_ref, bpl_ref, out_ref):
+    npix_flat = DTILE_H * DTILE_W
+
+    def kernel(counts_ref, bset_ref, bpl_ref, out_ref, coef_ref):
         i = pl.program_id(0)
         cnt = counts_ref[i]
         row = i // n_cols
         col = i - row * n_cols
         ybase = (row * DTILE_H).astype(jnp.float32)
         xbase = (col * DTILE_W).astype(jnp.float32)
-        py = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 0).astype(jnp.float32) + ybase + 0.5
-        px = jax.lax.broadcasted_iota(jnp.int32, (DTILE_H, DTILE_W), 1).astype(jnp.float32) + xbase + 0.5
+        # Flat pixel layout: tris along sublanes, pixels along lanes — all
+        # per-triangle coefficient broadcasts are native sublane broadcasts
+        # (the (GROUP,1,1)-over-(32,128) form costs a ~300-cycle relayout per
+        # extract and dominated the kernel).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_flat), 1)
+        pxf = (lane % DTILE_W).astype(jnp.float32) + xbase + 0.5
+        pyf = (lane // DTILE_W).astype(jnp.float32) + ybase + 0.5
 
         ngroups = pl.cdiv(cnt, GROUP)
 
         # ---- pass 1: visibility ----
         def grp_body(gk, carry):
-            depth, win = carry
+            depth, win = carry                               # (1, npix)
             base = gk * GROUP
-            blk = bset_ref[0, pl.ds(base, GROUP), :]        # (GROUP, SETUP_W)
+            blk = bset_ref[0, pl.ds(base, GROUP), :]         # (GROUP, SETUP_W)
 
-            def cf(lane):
-                return blk[:, lane][:, None, None]          # (GROUP, 1, 1)
+            def cf(lane_idx):
+                return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
 
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0) + base) < cnt
-            e0 = cf(S_EA) * px + cf(S_EB) * py + cf(S_EC)
-            e1 = cf(S_EA + 1) * px + cf(S_EB + 1) * py + cf(S_EC + 1)
-            e2 = cf(S_EA + 2) * px + cf(S_EB + 2) * py + cf(S_EC + 2)
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
+            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)  # (GROUP, npix)
+            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
             c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
             c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
             c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-            z = cf(S_ZA) * px + cf(S_ZB) * py + cf(S_ZC)
+            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
             cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-            zm = jnp.where(cov, z, -1.0)                    # (GROUP, H, W)
+            zm = jnp.where(cov, z, -1.0)                     # (GROUP, npix)
 
-            # last-wins argmax within the group (no lax.rev in Mosaic: pick
-            # the largest index among depth ties explicitly)
-            best_z = zm.max(axis=0)
+            # last-wins argmax within the group
+            best_z = zm.max(axis=0, keepdims=True)           # (1, npix)
             gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
-            best_local = jnp.where(zm == best_z[None], gidx, -1).max(axis=0)
+            best_local = jnp.where(zm == best_z, gidx, -1).max(axis=0, keepdims=True)
             upd = (best_z >= depth) & (best_z > -1.0)
             return (
                 jnp.where(upd, best_z, depth),
                 jnp.where(upd, base + best_local, win),
             )
 
-        d0 = jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
-        w0 = jnp.full((DTILE_H, DTILE_W), -1, jnp.int32)
+        d0 = jnp.zeros((1, npix_flat), jnp.float32)
+        w0 = jnp.full((1, npix_flat), -1, jnp.int32)
         depth, win = jax.lax.fori_loop(0, ngroups, grp_body, (d0, w0))
+        depth = depth.reshape(DTILE_H, DTILE_W)
+        win = win.reshape(DTILE_H, DTILE_W)
 
         # ---- pass 2: accumulate the winner's plane row per pixel ----
+        # Accumulates into a VMEM scratch with predicated (pl.when) writes: a
+        # (PLANES_W, npix) fori-loop carry routed through lax.cond costs a
+        # full-buffer copy per group and dominated the kernel.
         npix = DTILE_H * DTILE_W
         win_flat = win.reshape(1, npix)
+        coef_ref[...] = jnp.zeros((PLANES_W, npix), jnp.float32)
 
-        def grp2_body(gk, acc):
+        def grp2_body(gk, carry):
             base = gk * GROUP
             in_group = (win >= base) & (win < base + GROUP)
 
-            def with_group(acc):
+            @pl.when(jnp.any(in_group))
+            def _():
                 ids = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
                 sel = (win_flat == ids).astype(jnp.float32)   # (GROUP, npix)
                 blkp = bpl_ref[0, pl.ds(base, GROUP), :]       # (GROUP, PLANES_W)
@@ -364,17 +377,15 @@ def raster_resolve(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                              # (PLANES_W, npix)
-                return acc + contrib
+                coef_ref[...] = coef_ref[...] + contrib
 
-            return jax.lax.cond(jnp.any(in_group), with_group, lambda a: a, acc)
+            return carry
 
-        coef = jax.lax.fori_loop(
-            0, ngroups, grp2_body, jnp.zeros((PLANES_W, npix), jnp.float32)
-        )                                                      # (PLANES_W, npix)
+        if not _skip_resolve:
+            jax.lax.fori_loop(0, ngroups, grp2_body, 0)
+        coef = coef_ref[...]                                   # (PLANES_W, npix)
 
         # ---- final: evaluate all planes once per pixel ----
-        pxf = px.reshape(1, npix)
-        pyf = py.reshape(1, npix)
 
         def plane(off):
             return coef[off, :] * pxf[0] + coef[off + 1, :] * pyf[0] + coef[off + 2, :]
@@ -408,6 +419,7 @@ def raster_resolve(
             pl.BlockSpec((1, K, PLANES_W), lambda i, c: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, GB_CH, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((PLANES_W, DTILE_H * DTILE_W), jnp.float32)],
     )
 
     tiles = pl.pallas_call(

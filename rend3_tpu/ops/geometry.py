@@ -49,13 +49,30 @@ class BinnedTris(NamedTuple):
 
 
 def _compact(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stream compaction: indices of True entries, padded with -1 to cap."""
+    """Stream compaction: indices of True entries, padded with -1 to cap.
+
+    Gather-based (cumsum + searchsorted): TPU scatters serialize at ~1-4
+    elements/cycle and dominated the frame; binary-search gathers are ~20x
+    cheaper at these sizes."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask) - 1
-    ids = jnp.full(cap, -1, jnp.int32)
-    src = jnp.arange(n, dtype=jnp.int32)
-    ids = ids.at[jnp.where(mask, pos, cap)].set(src, mode="drop")
-    return ids, mask.sum().astype(jnp.int32)
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    count = cum[-1]
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(cum, q, side="left").astype(jnp.int32)
+    ids = jnp.where(q <= count, jnp.minimum(pos, n - 1), -1)
+    return ids, count
+
+
+def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-wise stream compaction: mask (N, V) -> ids (N, cap) of True
+    columns per row (-1 padded), counts (N,). Scatter-free."""
+    N, V = mask.shape
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    counts = cum[:, -1]
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cum).astype(jnp.int32)
+    ids = jnp.where(q[None, :] <= counts[:, None], jnp.minimum(pos, V - 1), -1)
+    return ids, counts.astype(jnp.int32)
 
 
 def cull_and_setup(
@@ -191,42 +208,41 @@ def bin_triangles(
     V = tris.setup.shape[0]
     n_rows = height // tile_h
     n_cols = width // tile_w
-    # row_cap bounds level-2 memory at (R * C * row_cap); 8k keeps it ~tens of
-    # MB at 1080p. Rows denser than this drop triangles (tracked in overflow).
     row_cap = row_cap or min(V, 1 << 13)
 
     xmin, ymin, xmax, ymax = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
 
-    # Level 1 — tile rows, fully vectorized: (n_rows, V) masks, one cumsum,
-    # one scatter. (No lax.map: sequential row loops and per-row scatters are
-    # TPU-hostile; a single big scatter amortizes.)
+    if V <= (1 << 15):
+        # Single level: (n_tiles, V) overlap mask + gather-compaction.
+        tid = jnp.arange(n_rows * n_cols)
+        tx0 = ((tid % n_cols) * tile_w).astype(jnp.float32)[:, None]
+        ty0 = ((tid // n_cols) * tile_h).astype(jnp.float32)[:, None]
+        mask = (
+            (xmax[None, :] > tx0)
+            & (xmin[None, :] < tx0 + tile_w)
+            & (ymax[None, :] > ty0)
+            & (ymin[None, :] < ty0 + tile_h)
+        )
+        ids, counts = _compact_rows(mask, tile_cap)
+        overflow = jnp.maximum(counts - tile_cap, 0).sum()
+        return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)
+
+    # Two level (large scenes): tile rows first, then columns, both
+    # gather-compacted.
     rows = jnp.arange(n_rows, dtype=jnp.float32)[:, None]
     rmask = (ymax[None, :] > rows * tile_h) & (ymin[None, :] < (rows + 1) * tile_h)  # (R, V)
-    rpos = jnp.cumsum(rmask, axis=1) - 1                                             # (R, V)
-    row_ids = jnp.full((n_rows, row_cap), -1, jnp.int32)
-    src = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (n_rows, V))
-    flat_idx = jnp.where(rmask, rpos, row_cap)
-    row_ids = row_ids.at[jnp.arange(n_rows)[:, None], flat_idx].set(src, mode="drop")
+    row_ids, _ = _compact_rows(rmask, row_cap)
 
-    # Level 2 — columns within each row: (R, C, row_cap) masks, one scatter.
-    live = row_ids >= 0                                       # (R, cap)
+    live = row_ids >= 0
     gr = jnp.clip(row_ids, 0, V - 1)
     rxmin = jnp.where(live, xmin[gr], 1e9)                    # (R, cap)
     rxmax = jnp.where(live, xmax[gr], -1e9)
     cols = jnp.arange(n_cols, dtype=jnp.float32)[None, :, None]
     cmask = (rxmax[:, None, :] > cols * tile_w) & (rxmin[:, None, :] < (cols + 1) * tile_w)  # (R, C, cap)
-    cpos = jnp.cumsum(cmask, axis=2) - 1
-    counts = cmask.sum(axis=2).astype(jnp.int32)              # (R, C)
-    ids = jnp.full((n_rows, n_cols, tile_cap), -1, jnp.int32)
-    cflat = jnp.where(cmask, cpos, tile_cap)
-    ids = ids.at[
-        jnp.arange(n_rows)[:, None, None],
-        jnp.arange(n_cols)[None, :, None],
-        cflat,
-    ].set(jnp.broadcast_to(row_ids[:, None, :], cmask.shape), mode="drop")
+    ids2, counts = _compact_rows(cmask.reshape(n_rows * n_cols, row_cap), tile_cap)
+    # ids2 index into the row lists; translate to setup ids.
+    rr = jnp.arange(n_rows * n_cols) // n_cols
+    ids = jnp.where(ids2 >= 0, row_ids[rr[:, None], jnp.clip(ids2, 0, row_cap - 1)], -1)
 
-    ids = ids.reshape(n_rows * n_cols, tile_cap)
-    counts = counts.reshape(n_rows * n_cols)
     overflow = jnp.maximum(counts - tile_cap, 0).sum()
-    counts = jnp.minimum(counts, tile_cap)
-    return BinnedTris(ids=ids, counts=counts, overflow=overflow)
+    return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)

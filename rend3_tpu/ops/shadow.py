@@ -67,12 +67,79 @@ def bin_rects(bbox: jnp.ndarray, rects: jnp.ndarray, cap: int) -> BinnedTris:
         & (bbox[None, :, 3] > rects[:, None, 1])
         & (bbox[None, :, 1] < rects[:, None, 3])
     )  # (nT, V)
-    pos = jnp.cumsum(mask, axis=1) - 1
-    counts = mask.sum(axis=1).astype(jnp.int32)
-    ids = jnp.full((nT, cap), -1, jnp.int32)
-    src = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None], (nT, V))
-    ids = ids.at[jnp.arange(nT)[:, None], jnp.where(mask, pos, cap)].set(src, mode="drop")
+    from .geometry import _compact_rows
+
+    ids, counts = _compact_rows(mask, cap)
     overflow = jnp.maximum(counts - cap, 0).sum()
+    return BinnedTris(ids=ids, counts=jnp.minimum(counts, cap), overflow=overflow)
+
+
+def bin_rects_2level(
+    bbox: jnp.ndarray,
+    rects: jnp.ndarray,
+    n_rows: int,
+    n_cols: int,
+    cap: int,
+    *,
+    group_rows: int = 2,
+    group_cols: int = 4,
+    super_cap: int = 4096,
+) -> BinnedTris:
+    """Hierarchical rect binning: tiles grouped into super-tiles (union
+    rect), triangles binned to super-tiles first, then refined per member
+    tile. Cuts the scatter volume ~(group size)x vs one-level (the scatter is
+    the dominant cost at ~1 elem/cycle on TPU)."""
+    V = bbox.shape[0]
+    if n_rows % group_rows or n_cols % group_cols:
+        return bin_rects(bbox, rects, cap)
+    sr, sc = n_rows // group_rows, n_cols // group_cols
+    nS = sr * sc
+    members = group_rows * group_cols
+
+    r4 = rects.reshape(sr, group_rows, sc, group_cols, 4)
+    super_rects = jnp.stack(
+        [
+            r4[..., 0].min(axis=(1, 3)),
+            r4[..., 1].min(axis=(1, 3)),
+            r4[..., 2].max(axis=(1, 3)),
+            r4[..., 3].max(axis=(1, 3)),
+        ],
+        axis=-1,
+    ).reshape(nS, 4)
+
+    lvl1 = bin_rects(bbox, super_rects, min(V, super_cap))  # (nS, cap1)
+    cap1 = lvl1.ids.shape[1]
+
+    live = lvl1.ids >= 0
+    g = jnp.clip(lvl1.ids, 0, V - 1)
+    bb = jnp.where(live[..., None], bbox[g], jnp.array([1e9, 1e9, -1e9, -1e9]))  # (nS, cap1, 4)
+
+    # Member-tile rects arranged (nS, members, 4) matching lvl1 ordering.
+    mrect = rects.reshape(sr, group_rows, sc, group_cols, 4).transpose(0, 2, 1, 3, 4).reshape(
+        nS, members, 4
+    )
+    mask = (
+        (bb[:, None, :, 2] > mrect[:, :, None, 0])
+        & (bb[:, None, :, 0] < mrect[:, :, None, 2])
+        & (bb[:, None, :, 3] > mrect[:, :, None, 1])
+        & (bb[:, None, :, 1] < mrect[:, :, None, 3])
+    )  # (nS, members, cap1)
+    from .geometry import _compact_rows
+
+    ids2, counts = _compact_rows(mask.reshape(nS * members, cap1), cap)
+    ids = jnp.where(
+        ids2 >= 0,
+        lvl1.ids[jnp.arange(nS * members)[:, None] // members, jnp.clip(ids2, 0, cap1 - 1)],
+        -1,
+    ).reshape(nS, members, cap)
+    counts = counts.reshape(nS, members)
+    overflow = lvl1.overflow + jnp.maximum(counts - cap, 0).sum()
+
+    # (nS, members) -> flat row-major tile order.
+    ids = ids.reshape(sr, sc, group_rows, group_cols, cap).transpose(0, 2, 1, 3, 4).reshape(
+        n_rows * n_cols, cap
+    )
+    counts = counts.reshape(sr, sc, group_rows, group_cols).transpose(0, 2, 1, 3).reshape(-1)
     return BinnedTris(ids=ids, counts=jnp.minimum(counts, cap), overflow=overflow)
 
 
@@ -114,7 +181,10 @@ def shadow_occlusion(
     n_tiles = n_rows * n_cols
 
     rects = _tile_rects(sx, sy, hit, height, width)
-    binned = bin_rects(tris.bbox, rects, min(tris.setup.shape[0], tile_cap))
+    V = tris.setup.shape[0]
+    cap = max(tile_cap, min(V, (8 * V) // max(n_tiles, 1)))
+    cap = min(V, -(-cap // GROUP) * GROUP)
+    binned = bin_rects_2level(tris.bbox, rects, n_rows, n_cols, cap)
     K = binned.ids.shape[1]
     K = max(GROUP, -(-K // GROUP) * GROUP)
     if K != binned.ids.shape[1]:
@@ -132,11 +202,13 @@ def shadow_occlusion(
 
     coords = jnp.stack([tile_img(sx), tile_img(sy), tile_img(hit.astype(jnp.float32))], axis=1)
 
+    npix_flat = STILE_H * STILE_W
+
     def kernel(counts_ref, bset_ref, coords_ref, occ_ref):
         i = pl.program_id(0)
         cnt = counts_ref[i]
-        sxl = coords_ref[0, 0]
-        syl = coords_ref[0, 1]
+        sxl = coords_ref[0, 0].reshape(1, npix_flat)
+        syl = coords_ref[0, 1].reshape(1, npix_flat)
         # Snapped base texel center.
         bx = jnp.floor(sxl - 0.5) + 0.5
         by = jnp.floor(syl - 0.5) + 0.5
@@ -147,15 +219,15 @@ def shadow_occlusion(
             base = gk * GROUP
             blk = bset_ref[0, pl.ds(base, GROUP), :]
 
-            def cf(lane):
-                return blk[:, lane][:, None, None]
+            def cf(lane_idx):
+                return blk[:, lane_idx : lane_idx + 1]   # (GROUP, 1) sublane bcast
 
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1, 1), 0) + base) < cnt
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
             a0, b0, c0 = cf(S_EA), cf(S_EB), cf(S_EC)
             a1, b1, c1 = cf(S_EA + 1), cf(S_EB + 1), cf(S_EC + 1)
             a2, b2, c2 = cf(S_EA + 2), cf(S_EB + 2), cf(S_EC + 2)
             za, zb, zc = cf(S_ZA), cf(S_ZB), cf(S_ZC)
-            e0 = a0 * bx + b0 * by + c0
+            e0 = a0 * bx + b0 * by + c0                  # (GROUP, npix)
             e1 = a1 * bx + b1 * by + c1
             e2 = a2 * bx + b2 * by + c2
             zv = za * bx + zb * by + zc
@@ -171,14 +243,14 @@ def shadow_occlusion(
                 p2 = e2 + a2 * fdx + b2 * fdy
                 zp = (zv + za * fdx + zb * fdy) * zvalid
                 cov = (p0 > 0.0) & (p1 > 0.0) & (p2 > 0.0) & (zp >= 0.0)
-                zo = jnp.where(cov, zp, 0.0).max(axis=0)  # (32, 128)
+                zo = jnp.where(cov, zp, 0.0).max(axis=0, keepdims=True)  # (1, npix)
                 new_occ.append(jnp.maximum(occ[oi], zo))
             return tuple(new_occ)
 
-        occ0 = tuple(jnp.zeros((STILE_H, STILE_W), jnp.float32) for _ in range(N_OFF))
+        occ0 = tuple(jnp.zeros((1, npix_flat), jnp.float32) for _ in range(N_OFF))
         occ = jax.lax.fori_loop(0, ngroups, grp, occ0)
         for oi in range(N_OFF):
-            occ_ref[0, oi] = occ[oi]
+            occ_ref[0, oi] = occ[oi].reshape(STILE_H, STILE_W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

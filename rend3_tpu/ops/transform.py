@@ -154,7 +154,7 @@ def clip_triangles(clip: jnp.ndarray, tri_valid: jnp.ndarray, clip_cap: int = 10
     pos = jnp.cumsum(crossing) - 1
     ids = jnp.full(clip_cap, -1, jnp.int32)
     ids = ids.at[jnp.where(crossing, pos, clip_cap)].set(
-        jnp.arange(T, dtype=jnp.int32), mode="drop"
+        jnp.arange(T, dtype=jnp.int32), mode="drop", unique_indices=True, indices_are_sorted=True
     )
     g = jnp.clip(ids, 0, T - 1)
     sub = _clip_triangles_full(clip[g], ids >= 0)

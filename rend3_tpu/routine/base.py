@@ -50,6 +50,17 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _tile_cap_for(n_tris: int, n_tiles: int, floor: int = 1024) -> int:
+    """Per-tile list capacity: generous when there are few tiles (small
+    targets can legitimately put thousands of triangles in one tile), bounded
+    at the triangle count. Overflow drops triangles, so err large."""
+    per_tile = max(floor, (8 * n_tris) // max(n_tiles, 1))
+    cap = 8
+    while cap < min(n_tris, per_tile):
+        cap *= 2
+    return min(n_tris, cap)
+
+
 def raster_scene(
     clip,
     valid,
@@ -420,8 +431,10 @@ class BaseRenderGraph:
                         clipped.clip, pvalid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
                     )
+                    n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                     pbinned = geom_ops.bin_triangles(
-                        ptris, wp, hp, tile_cap=min(clipped.clip.shape[0], 1024),
+                        ptris, wp, hp,
+                        tile_cap=_tile_cap_for(clipped.clip.shape[0], n_tiles_d),
                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                     )
                     pdepth = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
@@ -446,8 +459,10 @@ class BaseRenderGraph:
                     tris, clipped.clip, clipped.bary, clipped.orig,
                     tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
                 )
+                n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                 binned = geom_ops.bin_triangles(
-                    tris, wp, hp, tile_cap=min(clipped.clip.shape[0], 1024),
+                    tris, wp, hp,
+                    tile_cap=_tile_cap_for(clipped.clip.shape[0], n_tiles_d),
                     tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                 )
                 gbuf_p = def_ops.raster_resolve(
