@@ -84,7 +84,6 @@ def main():
     runner.renderer.swap_instruction_buffers()
     eval_output = runner.renderer.evaluate_instructions()
 
-    runner.base_graph.occlusion_culling = True
     program, args = runner.base_graph.build_frame_callable(
         eval_output, FrameRenderTarget(width, height, 1), BaseRenderGraphSettings(ambient_color=(0.08, 0.08, 0.1, 1.0))
     )

@@ -83,7 +83,7 @@ def bin_rects_2level(
     *,
     group_rows: int = 2,
     group_cols: int = 4,
-    super_cap: int = 4096,
+    super_cap: int = 0,
 ) -> BinnedTris:
     """Hierarchical rect binning: tiles grouped into super-tiles (union
     rect), triangles binned to super-tiles first, then refined per member
@@ -95,6 +95,8 @@ def bin_rects_2level(
     sr, sc = n_rows // group_rows, n_cols // group_cols
     nS = sr * sc
     members = group_rows * group_cols
+    if not super_cap:
+        super_cap = max(4 * cap, (16 * V) // max(nS, 1))
 
     r4 = rects.reshape(sr, group_rows, sc, group_cols, 4)
     super_rects = jnp.stack(
@@ -182,7 +184,7 @@ def shadow_occlusion(
 
     rects = _tile_rects(sx, sy, hit, height, width)
     V = tris.setup.shape[0]
-    cap = max(tile_cap, min(V, (8 * V) // max(n_tiles, 1)))
+    cap = max(256, min(tile_cap, (8 * V) // max(n_tiles, 1)))
     cap = min(V, -(-cap // GROUP) * GROUP)
     binned = bin_rects_2level(tris.bbox, rects, n_rows, n_cols, cap)
     K = binned.ids.shape[1]

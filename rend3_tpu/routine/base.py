@@ -50,7 +50,7 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _tile_cap_for(n_tris: int, n_tiles: int, floor: int = 1024) -> int:
+def _tile_cap_for(n_tris: int, n_tiles: int, floor: int = 256) -> int:
     """Per-tile list capacity: generous when there are few tiles (small
     targets can legitimately put thousands of triangles in one tile), bounded
     at the triangle count. Overflow drops triangles, so err large."""
