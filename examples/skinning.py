@@ -27,6 +27,17 @@ class SkinningExample(framework.App):
         self.loaded, self.instance, self.file = load_gltf_file(
             r, GLB_PATH, GltfLoadSettings(enable_directional=False)
         )
+        # reference poses the two joints explicitly (skinning/mod.rs:33-55):
+        # joint 0 = T(0,0,-4.18), joint 1 = Rx(30*sin(5t)) (0 at t=0).
+        from rend3_tpu.types import Skeleton
+
+        ibm = self.loaded.skins[0]["inverse_bind_matrices"]
+        globals0 = np.stack([m3.translation([0.0, 0.0, -4.18]), np.eye(4, dtype=np.float32)])
+        jm = Skeleton.compute_joint_matrices(globals0, ibm)
+        for handles in self.instance.skeletons.values():
+            for sk in handles:
+                r.set_skeleton_joint_matrices(sk, jm)
+
         view = m3.translation([0.0, 0.0, 10.0])  # -(-10) along z
         r.set_camera_data(Camera(projection=Perspective(vfov=60.0, near=0.1), view=view))
         self.light = r.add_directional_light(
@@ -34,7 +45,7 @@ class SkinningExample(framework.App):
                 color=np.ones(3),
                 intensity=10.0,
                 direction=np.array([-1.0, -4.0, 2.0], np.float32),
-                distance=20.0,
+                distance=400.0,
                 resolution=2048,
             )
         )

@@ -277,6 +277,10 @@ def load_gltf_data(renderer: Renderer, file: _GltfFile, settings: GltfLoadSettin
             attrs = prim["attributes"]
             positions = file.accessor(attrs["POSITION"]).astype(np.float32)
             builder = MeshBuilder(positions, renderer.handedness)
+            # reference flips winding for left-handed renderers (the root
+            # Z-flip mirrors parity; the index flip restores it, lib.rs:632).
+            if renderer.handedness == Handedness.LEFT:
+                builder = builder.with_flip_winding_order()
             if "indices" in prim:
                 builder = builder.with_indices(file.accessor(prim["indices"]).reshape(-1).astype(np.uint32))
             if "NORMAL" in attrs:
@@ -385,12 +389,10 @@ def instance_loaded_scene(
                 )
                 if skin_idx is not None:
                     skin = loaded.skins[skin_idx]
-                    joints = skin["joints"]
-                    jg = np.stack([world[j] for j in joints])
-                    jm = Skeleton.compute_joint_matrices(
-                        np.einsum("ab,jbc->jac", np.linalg.inv(world[i]).astype(np.float32), jg),
-                        skin["inverse_bind_matrices"],
-                    )
+                    # reference convention (rend3-gltf lib.rs:438-441): rest
+                    # pose = identity joint matrices (inv_bind * bind = I);
+                    # posing composes armature-relative joint globals x IBMs.
+                    jm = np.tile(np.eye(4, dtype=np.float32), (len(skin["joints"]), 1, 1))
                     sk_handle = renderer.add_skeleton(Skeleton(mesh=mesh_handle, joint_matrices=jm))
                     inst.skeletons.setdefault(i, []).append(sk_handle)
                     obj = Object(
