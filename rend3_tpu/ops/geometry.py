@@ -65,12 +65,37 @@ def _compact(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-wise stream compaction: mask (N, V) -> ids (N, cap) of True
-    columns per row (-1 padded), counts (N,). Scatter-free."""
+    columns per row (-1 padded), counts (N,).
+
+    Scatter-free AND gather-light: position of the k-th set bit is found by a
+    two-stage rank-select — a bucketed compare-and-sum over the cumsum
+    (vectorized VPU compares) plus one contiguous row-gather per query —
+    instead of per-query binary search (log V strided gathers each) or a
+    scatter (~1 elem/cycle on TPU)."""
     N, V = mask.shape
     cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
     counts = cum[:, -1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cum).astype(jnp.int32)
+
+    B = 128
+    n_buckets = -(-V // B)
+    while n_buckets > 256:  # keep the coarse compare tensor bounded
+        B *= 2
+        n_buckets = -(-V // B)
+    Vp = n_buckets * B
+    big = jnp.int32(2 ** 30)
+    cum_p = jnp.pad(cum, ((0, 0), (0, Vp - V)), constant_values=2 ** 30) if Vp != V else cum
+    cum_b = cum_p.reshape(N, n_buckets, B)
+    coarse = cum_b[:, :, -1]                                  # (N, nB) bucket-end cums
+
+    # Coarse: #buckets entirely below k.
+    bucket = (coarse[:, None, :] < q[None, :, None]).sum(-1).astype(jnp.int32)  # (N, cap)
+    bucket = jnp.clip(bucket, 0, n_buckets - 1)
+    # Fine: rank within the selected bucket (one contiguous row-gather).
+    rows = jnp.take_along_axis(cum_b, bucket[:, :, None], axis=1)  # (N, cap, B)
+    within = (rows < q[None, :, None]).sum(-1).astype(jnp.int32)
+    pos = bucket * B + within
+
     ids = jnp.where(q[None, :] <= counts[:, None], jnp.minimum(pos, V - 1), -1)
     return ids, counts.astype(jnp.int32)
 
