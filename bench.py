@@ -19,8 +19,43 @@ import time
 import numpy as np
 
 
-def build_city_scene(runner, n_buildings=256, seed=7):
-    """City block: ground plane + grid of scaled cubes with varied materials."""
+def _subdivided_cube(g: int) -> tuple:
+    """A [-1,1] cube with each face split into a g x g quad grid
+    (6*g*g*2 triangles) — gives the proxy scene Bistro-like triangle
+    density without external assets."""
+    verts = []
+    idx = []
+    axes = [  # (normal axis, u axis, v axis, sign)
+        (0, 1, 2, +1), (0, 1, 2, -1),
+        (1, 0, 2, +1), (1, 0, 2, -1),
+        (2, 0, 1, +1), (2, 0, 1, -1),
+    ]
+    for (na, ua, va, sgn) in axes:
+        base = len(verts)
+        for j in range(g + 1):
+            for i in range(g + 1):
+                p = [0.0, 0.0, 0.0]
+                p[na] = float(sgn)
+                p[ua] = -1.0 + 2.0 * i / g
+                p[va] = -1.0 + 2.0 * j / g
+                verts.append(p)
+        for j in range(g):
+            for i in range(g):
+                a = base + j * (g + 1) + i
+                b = a + 1
+                c = a + (g + 1)
+                d = c + 1
+                if sgn > 0:
+                    idx += [a, b, d, d, c, a]
+                else:
+                    idx += [a, d, b, d, a, c]
+    return np.asarray(verts, np.float32), np.asarray(idx, np.uint32)
+
+
+def build_city_scene(runner, n_buildings=600, seed=7, subdiv=3):
+    """City block: ground plane + grid of subdivided-cube buildings
+    (~6*subdiv^2*2 tris each; default ~230k scene triangles)."""
+    from rend3_tpu.types import Handedness, MeshBuilder, Object, StaticMeshKind
     from rend3_tpu.utils import math as m3
 
     rng = np.random.default_rng(seed)
@@ -28,14 +63,21 @@ def build_city_scene(runner, n_buildings=256, seed=7):
 
     ground = runner.add_lit_material([0.35, 0.35, 0.33, 1.0])
     keep.append(ground)
-    keep.append(runner.plane(ground, m3.rotation_x(-np.pi / 2) @ m3.scale(200.0)))
+    keep.append(runner.plane(ground, m3.rotation_x(-np.pi / 2) @ m3.scale(400.0)))
 
     mats = []
-    for _ in range(32):
+    for _ in range(64):
         c = rng.uniform(0.2, 0.9, 3)
         m = runner.add_lit_material([*c, 1.0])
         mats.append(m)
         keep.append(m)
+
+    # A few shared building meshes with different tessellation.
+    meshes = []
+    for g in (subdiv, subdiv + 1, subdiv + 2):
+        v, i = _subdivided_cube(g)
+        meshes.append(runner.add_mesh(MeshBuilder(v, Handedness.LEFT).with_indices(i).build()))
+    keep.extend(meshes)
 
     side = int(np.ceil(np.sqrt(n_buildings)))
     for i in range(n_buildings):
@@ -45,7 +87,11 @@ def build_city_scene(runner, n_buildings=256, seed=7):
         h = rng.uniform(2.0, 18.0)
         w = rng.uniform(1.5, 3.5)
         t = m3.translation([x, h, z]) @ m3.scale([w, h, w])
-        keep.append(runner.cube(mats[i % len(mats)], t))
+        keep.append(
+            runner.add_object(
+                Object(mesh_kind=StaticMeshKind(meshes[i % len(meshes)]), material=mats[i % len(mats)], transform=t)
+            )
+        )
 
     from rend3_tpu.types import DirectionalLight
 

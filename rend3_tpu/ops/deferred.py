@@ -117,10 +117,17 @@ def attribute_planes(
     b = ctri_bary[src]        # (V, 3, 3)
     o = ctri_orig[src]        # (V,)
 
-    # Apply the orientation swap (corners 1<->2) used by the edge setup.
-    swap = jnp.array([0, 2, 1])
-    c = jnp.where(tris.flip[:, None, None], c[:, swap], c)
-    b = jnp.where(tris.flip[:, None, None], b[:, swap], b)
+    # Apply the orientation swap (corners 1<->2) used by the edge setup
+    # (static slice-stacks; fancy indexing lowers to scalar gathers).
+    def _swap12(a):
+        return jnp.where(
+            tris.flip[:, None, None],
+            jnp.stack([a[:, 0], a[:, 2], a[:, 1]], axis=1),
+            a,
+        )
+
+    c = _swap12(c)
+    b = _swap12(b)
 
     inv_w = 1.0 / jnp.where(c[..., 3] == 0.0, 1.0, c[..., 3])   # (V, 3)
     x = (c[..., 0] * inv_w * 0.5 + 0.5) * width
@@ -134,11 +141,14 @@ def attribute_planes(
     ec = (yn - y) * x - (xn - x) * y
     area = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])
     inv_area = 1.0 / jnp.where(area == 0.0, 1.0, area)
-    opp = jnp.array([1, 2, 0])
+
+    def _opp(a):  # static column rotation [1, 2, 0]
+        return jnp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=1)
+
     # lambda_j(p) = (oa_j*px + ob_j*py + oc_j) * inv_area
-    oa = jnp.take(ea, opp, axis=1) * inv_area[:, None]  # (V, 3)
-    ob = jnp.take(eb, opp, axis=1) * inv_area[:, None]
-    oc = jnp.take(ec, opp, axis=1) * inv_area[:, None]
+    oa = _opp(ea) * inv_area[:, None]  # (V, 3)
+    ob = _opp(eb) * inv_area[:, None]
+    oc = _opp(ec) * inv_area[:, None]
 
     # Corner attribute values (clipped corners = bary blend of source corners).
     obj = jnp.maximum(tri_obj[o], 0)

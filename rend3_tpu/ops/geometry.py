@@ -50,17 +50,9 @@ class BinnedTris(NamedTuple):
 
 def _compact(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stream compaction: indices of True entries, padded with -1 to cap.
-
-    Gather-based (cumsum + searchsorted): TPU scatters serialize at ~1-4
-    elements/cycle and dominated the frame; binary-search gathers are ~20x
-    cheaper at these sizes."""
-    n = mask.shape[0]
-    cum = jnp.cumsum(mask.astype(jnp.int32))
-    count = cum[-1]
-    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    pos = jnp.searchsorted(cum, q, side="left").astype(jnp.int32)
-    ids = jnp.where(q <= count, jnp.minimum(pos, n - 1), -1)
-    return ids, count
+    Single-row case of _compact_rows (bucketed rank-select, scatter-free)."""
+    ids, counts = _compact_rows(mask[None, :], cap)
+    return ids[0], counts[0]
 
 
 def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -77,11 +69,12 @@ def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray
     counts = cum[:, -1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32)
 
+    # Balance the two compare stages: coarse costs N*cap*n_buckets, fine
+    # costs N*cap*B; minimized at B ~ sqrt(V).
     B = 128
-    n_buckets = -(-V // B)
-    while n_buckets > 256:  # keep the coarse compare tensor bounded
+    while B * B < V:
         B *= 2
-        n_buckets = -(-V // B)
+    n_buckets = -(-V // B)
     Vp = n_buckets * B
     big = jnp.int32(2 ** 30)
     cum_p = jnp.pad(cum, ((0, 0), (0, Vp - V)), constant_values=2 ** 30) if Vp != V else cum
@@ -154,12 +147,17 @@ def cull_and_setup(
         occluded = hiz_ops.occlusion_test(hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height)
         keep = keep & ~occluded
 
-    # Orient: ensure positive area for uniform edge tests.
+    # Orient: ensure positive area for uniform edge tests. Column swaps via
+    # static slices (take_along_axis lowers to scalar gathers on TPU).
     flip = area2 < 0.0
-    perm = jnp.where(flip[:, None], jnp.array([0, 2, 1]), jnp.array([0, 1, 2]))
-    xo = jnp.take_along_axis(x, perm, axis=1)
-    yo = jnp.take_along_axis(y, perm, axis=1)
-    zo = jnp.take_along_axis(z, perm, axis=1)
+
+    def _orient(a):
+        swapped = jnp.stack([a[:, 0], a[:, 2], a[:, 1]], axis=1)
+        return jnp.where(flip[:, None], swapped, a)
+
+    xo = _orient(x)
+    yo = _orient(y)
+    zo = _orient(z)
 
     # Edge i: from corner i to corner i+1. e = a*px + b*py + c.
     xn = jnp.roll(xo, -1, axis=1)
@@ -173,43 +171,39 @@ def cull_and_setup(
     # corner 0 is edge 1 (1->2), corner 1 -> edge 2, corner 2 -> edge 0.
     area_o = (xo[:, 1] - xo[:, 0]) * (yo[:, 2] - yo[:, 0]) - (xo[:, 2] - xo[:, 0]) * (yo[:, 1] - yo[:, 0])
     inv_area = 1.0 / jnp.where(area_o == 0.0, 1.0, area_o)
-    zw = jnp.stack([zo[:, 0], zo[:, 1], zo[:, 2]], axis=1)
-    opp = jnp.array([1, 2, 0])
-    za = (zw * jnp.take(ea, opp, axis=1)).sum(axis=1) * inv_area
-    zb = (zw * jnp.take(eb, opp, axis=1)).sum(axis=1) * inv_area
-    zc = (zw * jnp.take(ec, opp, axis=1)).sum(axis=1) * inv_area
+    def _opp(a):  # static column rotation [1, 2, 0]
+        return jnp.stack([a[:, 1], a[:, 2], a[:, 0]], axis=1)
+
+    za = (zo * _opp(ea)).sum(axis=1) * inv_area
+    zb = (zo * _opp(eb)).sum(axis=1) * inv_area
+    zc = (zo * _opp(ec)).sum(axis=1) * inv_area
 
     ids, count = _compact(keep, cap)
     g = jnp.clip(ids, 0, T - 1)
 
-    setup = jnp.zeros((cap, SETUP_W), jnp.float32)
-    setup = setup.at[:, S_EA + 0].set(ea[g, 0])
-    setup = setup.at[:, S_EA + 1].set(ea[g, 1])
-    setup = setup.at[:, S_EA + 2].set(ea[g, 2])
-    setup = setup.at[:, S_EB + 0].set(eb[g, 0])
-    setup = setup.at[:, S_EB + 1].set(eb[g, 1])
-    setup = setup.at[:, S_EB + 2].set(eb[g, 2])
-    setup = setup.at[:, S_EC + 0].set(ec[g, 0])
-    setup = setup.at[:, S_EC + 1].set(ec[g, 1])
-    setup = setup.at[:, S_EC + 2].set(ec[g, 2])
-    setup = setup.at[:, S_ZA].set(za[g])
-    setup = setup.at[:, S_ZB].set(zb[g])
-    setup = setup.at[:, S_ZC].set(zc[g])
-    setup = setup.at[:, S_TL].set(tl[g, 0])
-    setup = setup.at[:, S_TL1].set(tl[g, 1])
-    setup = setup.at[:, S_TL2].set(tl[g, 2])
-    # id stored as a float *value* (exact for < 2^24, cf. MAX_VERTEX_COUNT)
-    setup = setup.at[:, S_ID].set(g.astype(jnp.float32))
-
-    live = ids >= 0
-    bbox = jnp.stack(
+    # Assemble the full-width row table FIRST, then compact with ONE
+    # contiguous row-gather (per-column scalar gathers cost ~10 cycles per
+    # element on TPU and dominated this pass at scale).
+    # Column order must match the S_* layout.
+    pre = jnp.stack(
         [
-            jnp.where(live, xmin[g], 1e9),
-            jnp.where(live, ymin[g], 1e9),
-            jnp.where(live, xmax[g], -1e9),
-            jnp.where(live, ymax[g], -1e9),
+            ea[:, 0], ea[:, 1], ea[:, 2],
+            eb[:, 0], eb[:, 1], eb[:, 2],
+            ec[:, 0], ec[:, 1], ec[:, 2],
+            za, zb, zc,
+            tl[:, 0],
+            jnp.zeros_like(za),  # S_ID placeholder
+            tl[:, 1], tl[:, 2],
         ],
         axis=1,
+    )  # (T, SETUP_W)
+    setup = pre[g]
+    setup = setup.at[:, S_ID].set(g.astype(jnp.float32))  # exact for < 2^24
+
+    pre_bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=1)  # (T, 4)
+    live = ids >= 0
+    bbox = jnp.where(
+        live[:, None], pre_bbox[g], jnp.array([1e9, 1e9, -1e9, -1e9], jnp.float32)
     )
     return TriSetup(setup=setup, bbox=bbox, count=count, src=g, flip=flip[g])
 
@@ -233,11 +227,11 @@ def bin_triangles(
     V = tris.setup.shape[0]
     n_rows = height // tile_h
     n_cols = width // tile_w
-    row_cap = row_cap or min(V, 1 << 13)
+    row_cap = row_cap or min(V, 1 << 14)
 
     xmin, ymin, xmax, ymax = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
 
-    if V <= (1 << 15):
+    if V <= (1 << 18):
         # Single level: (n_tiles, V) overlap mask + gather-compaction.
         tid = jnp.arange(n_rows * n_cols)
         tx0 = ((tid % n_cols) * tile_w).astype(jnp.float32)[:, None]

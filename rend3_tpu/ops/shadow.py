@@ -186,7 +186,10 @@ def shadow_occlusion(
     V = tris.setup.shape[0]
     cap = max(256, min(tile_cap, (8 * V) // max(n_tiles, 1)))
     cap = min(V, -(-cap // GROUP) * GROUP)
-    binned = bin_rects_2level(tris.bbox, rects, n_rows, n_cols, cap)
+    if V <= (1 << 18):
+        binned = bin_rects(tris.bbox, rects, cap)
+    else:
+        binned = bin_rects_2level(tris.bbox, rects, n_rows, n_cols, cap)
     K = binned.ids.shape[1]
     K = max(GROUP, -(-K // GROUP) * GROUP)
     if K != binned.ids.shape[1]:

@@ -48,23 +48,53 @@ def object_uniforms(transforms: jnp.ndarray, view: jnp.ndarray, proj: jnp.ndarra
     return model_view, model_view_proj
 
 
+def per_tri_matrices(tri_obj: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle 4x4 matrices from per-object ones: (T,), (O,4,4) -> (T,4,4).
+
+    For small object tables a one-hot f32 matmul rides the MXU (~0.27 ms for
+    131k tris x 1024 objects) vs ~1.3 ms for the 16-wide row gather; larger
+    tables fall back to the gather, whose cost is O-independent."""
+    obj = jnp.maximum(tri_obj, 0)
+    O = mats.shape[0]
+    if O <= 2048:
+        onehot = (obj[:, None] == jnp.arange(O, dtype=obj.dtype)[None, :]).astype(jnp.float32)
+        return (onehot @ mats.reshape(O, 16).astype(jnp.float32)).reshape(-1, 4, 4)
+    return mats[obj]
+
+
+def tri_global_ids(
+    tri_vlocal: jnp.ndarray, tri_obj: jnp.ndarray, base_position: jnp.ndarray, n_verts: int
+) -> jnp.ndarray:
+    """Global position-arena ids per corner: (T, 3) int32. Static per scene —
+    compute once per frame (or on host) and reuse across main/shadow passes."""
+    obj = jnp.maximum(tri_obj, 0)
+    ids = tri_vlocal + base_position[obj][:, None]
+    return jnp.clip(ids, 0, n_verts - 1)
+
+
 def gather_tri_clip(
     positions: jnp.ndarray,  # (V, 3) position arena
     tri_vlocal: jnp.ndarray,  # (T, 3) int32 mesh-local vertex ids
     tri_obj: jnp.ndarray,    # (T,) int32 object ids (-1 invalid)
     base_position: jnp.ndarray,  # (O,) int32 per-object position arena base
     mvp: jnp.ndarray,        # (O, 4, 4)
+    tri_gid: jnp.ndarray | None = None,  # optional precomputed (T, 3) global ids
+    tri_pos: jnp.ndarray | None = None,  # optional pre-gathered (T, 3, 3) corners
 ) -> jnp.ndarray:
     """Gather corner positions (mesh-local index + per-object arena base,
     mirroring the reference's vertex_attribute_start_offsets) and transform to
     clip space: (T, 3, 4)."""
-    obj = jnp.maximum(tri_obj, 0)
-    ids = tri_vlocal + base_position[obj][:, None]
-    ids = jnp.clip(ids, 0, positions.shape[0] - 1)
-    p = positions[ids]                                     # (T, 3, 3)
-    p4 = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1)  # (T,3,4)
-    m = mvp[obj]                                           # (T, 4, 4)
-    return jnp.einsum("tab,tcb->tca", m, p4)               # clip = M @ p per corner
+    if tri_pos is None:
+        if tri_gid is None:
+            tri_gid = tri_global_ids(tri_vlocal, tri_obj, base_position, positions.shape[0])
+        tri_pos = positions[tri_gid]                       # (T, 3, 3)
+    m = per_tri_matrices(tri_obj, mvp)                     # (T, 4, 4)
+    # clip[t, c, a] = sum_b m[t, a, b] * p[t, c, b] + m[t, a, 3], written as
+    # broadcast mul+reduce: a batched (4x4)@(4x3) einsum lowers to a
+    # catastrophically padded MXU op that XLA then RECOMPUTES per consumer
+    # fusion (~2 ms a pop at 131k tris); this form is pure VPU and fuses.
+    c = (m[:, None, :, :3] * tri_pos[:, :, None, :]).sum(-1) + m[:, None, :, 3]
+    return c                                               # (T, 3, 4)
 
 
 def _clip_one_plane(verts, bary, count, plane_fn):
@@ -84,20 +114,21 @@ def _clip_one_plane(verts, bary, count, plane_fn):
     out_b = jnp.zeros_like(bary)
     out_n = jnp.zeros_like(count)
 
-    # Walk the polygon edges. Every slot is processed; masks gate writes.
-    def body(i, state):
-        out_v, out_b, out_n = state
-        j = jnp.where(i + 1 < count, i + 1, 0)  # next vertex (wrap at count)
+    # Walk the polygon edges, Python-unrolled so every slot access is a
+    # static slice + a wrap select. (A fori_loop with take_along_axis here
+    # issued ~20 tiny dynamic gathers; each has ~0.2 ms fixed cost on TPU.)
+    for i in range(MAXV - 1):
+        wrap = (i + 1 >= count)  # (T,) next vertex wraps to slot 0
         live = i < count
 
-        vi = verts[jnp.arange(T), i]
-        vj = jnp.take_along_axis(verts, j[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        bi = bary[jnp.arange(T), i]
-        bj = jnp.take_along_axis(bary, j[:, None, None].repeat(3, -1), axis=1)[:, 0]
-        di = d[jnp.arange(T), i]
-        dj = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
-        ini = inside[jnp.arange(T), i]
-        inj = jnp.take_along_axis(inside, j[:, None], axis=1)[:, 0]
+        def nxt(a):
+            lo, hi = a[:, 0], a[:, min(i + 1, MAXV - 1)]
+            return jnp.where(wrap.reshape((T,) + (1,) * (lo.ndim - 1)), lo, hi)
+
+        vi, vj = verts[:, i], nxt(verts)
+        bi, bj = bary[:, i], nxt(bary)
+        di, dj = d[:, i], nxt(d)
+        ini, inj = inside[:, i], nxt(inside)
 
         # Emit current vertex if inside.
         emit_cur = live & ini
@@ -115,9 +146,6 @@ def _clip_one_plane(verts, bary, count, plane_fn):
         out_v = _masked_set(out_v, idx, v_int, crosses)
         out_b = _masked_set(out_b, idx, b_int, crosses)
         out_n = out_n + crosses.astype(out_n.dtype)
-        return out_v, out_b, out_n
-
-    out_v, out_b, out_n = jax.lax.fori_loop(0, MAXV - 1, body, (out_v, out_b, out_n))
     return out_v, out_b, out_n
 
 
@@ -150,12 +178,11 @@ def clip_triangles(clip: jnp.ndarray, tri_valid: jnp.ndarray, clip_cap: int = 10
     any_in = inside.any(axis=-1)
     crossing = tri_valid & any_in & ~all_in
 
-    # Compact the crossing subset.
-    pos = jnp.cumsum(crossing) - 1
-    ids = jnp.full(clip_cap, -1, jnp.int32)
-    ids = ids.at[jnp.where(crossing, pos, clip_cap)].set(
-        jnp.arange(T, dtype=jnp.int32), mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    # Compact the crossing subset (rank-select; scatters run ~1 elem/cycle
+    # on TPU and dominated the whole geometry phase at 100k+ triangles).
+    from .geometry import _compact
+
+    ids, _ = _compact(crossing, clip_cap)
     g = jnp.clip(ids, 0, T - 1)
     sub = _clip_triangles_full(clip[g], ids >= 0)
 

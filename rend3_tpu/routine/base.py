@@ -50,11 +50,14 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _tile_cap_for(n_tris: int, n_tiles: int, floor: int = 256) -> int:
-    """Per-tile list capacity: generous when there are few tiles (small
-    targets can legitimately put thousands of triangles in one tile), bounded
-    at the triangle count. Overflow drops triangles, so err large."""
-    per_tile = max(floor, (8 * n_tris) // max(n_tiles, 1))
+def _tile_cap_for(n_tris: int, n_tiles: int, floor: int = 256, ceil: int = 4096) -> int:
+    """Per-tile list capacity. Generous when there are few tiles (small
+    targets legitimately put thousands of triangles in one tile: no ceiling
+    applies then); bounded for big scenes where the binned-setup gather
+    scales with n_tiles * cap. Overflow is tracked and drops triangles."""
+    per_tile = max(floor, (2 * n_tris) // max(n_tiles, 1))
+    if n_tiles > 8:
+        per_tile = min(per_tile, ceil)
     cap = 8
     while cap < min(n_tris, per_tile):
         cap *= 2
@@ -370,6 +373,14 @@ class BaseRenderGraph:
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
             use_deferred = backend != "reference" and samples == 1
+
+            # Pre-gather triangle corner positions once (post-skinning) and
+            # share across the main + shadow + occlusion passes — the per-tri
+            # vertex gather and per-object base lookup are the costly parts.
+            tri_gid = transform_ops.tri_global_ids(
+                tri_vlocal, tri_obj, bases[:, 0], geo.position.shape[0]
+            )
+            tri_pos = geo.position[tri_gid]
             # Deferred mode resolves shadows without a shadow map (ops/shadow.py);
             # the atlas is only rasterized for the forward paths that sample it.
             need_atlas = (not use_deferred) or blend_vlocal.shape[0] > 0
@@ -380,7 +391,7 @@ class BaseRenderGraph:
                 svp = dir_lights.view_proj[k]
                 _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
                 svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
-                sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp)
+                sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp, tri_pos=tri_pos)
                 sclipped = transform_ops.clip_triangles(sclip, svalid)
                 svis = raster_scene(
                     sclipped.clip,
@@ -397,7 +408,7 @@ class BaseRenderGraph:
             # ---- main visibility pass (opaque + cutout) ----
             mv, mvp = transform_ops.object_uniforms(transforms, view, proj)
             valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
-            clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp)
+            clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp, tri_pos=tri_pos)
             clipped = transform_ops.clip_triangles(clip, valid)
 
             # ---- background: clear color, then skybox where provided ----
@@ -498,12 +509,13 @@ class BaseRenderGraph:
                         _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
                         svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
                         sclip = transform_ops.gather_tri_clip(
-                            geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp
+                            geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp, tri_pos=tri_pos
                         )
                         sclipped = transform_ops.clip_triangles(sclip, svalid)
                         stris = geom_ops.cull_and_setup(
                             sclipped.clip, sclipped.valid, size, size,
                             cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
+                            subpixel=True,  # sub-texel casters can't mark any texel center
                         )
                         occ = shadow_ops.shadow_occlusion(
                             stris, sx, sy, hitp, wp, hp, interpret=interp
