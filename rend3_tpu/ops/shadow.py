@@ -37,9 +37,16 @@ from .geometry import (
     BinnedTris,
     TriSetup,
     _compact,
+    _compact_rows,
 )
 
-__all__ = ["PCF_OFFSETS", "bin_rects", "shadow_occlusion", "pcf5_from_occlusion"]
+__all__ = [
+    "PCF_OFFSETS",
+    "bin_rects",
+    "shadow_occlusion",
+    "shadow_occlusion_lt",
+    "pcf5_from_occlusion",
+]
 
 STILE_H = 32
 STILE_W = 128
@@ -276,6 +283,295 @@ def shadow_occlusion(
 
     occ = tiles.reshape(n_rows, n_cols, N_OFF, STILE_H, STILE_W)
     return occ.transpose(2, 0, 3, 1, 4).reshape(N_OFF, height, width)
+
+
+def _build_tile_lists(tris, sx, sy, hit, width, height, size, *, lt, cap, row_cull):
+    """XLA pre-pass for shadow_occlusion_lt: exact light-cell-union caster
+    lists per screen tile + per-(group, screen-row) cull bits."""
+    n_rows = height // STILE_H
+    n_cols = width // STILE_W
+    n_tiles = n_rows * n_cols
+    V = tris.setup.shape[0]
+    G = -(-size // lt)
+    n_chunks = cap // GROUP
+
+    # ---- 1. per-screen-tile light-cell occupancy ----
+    def tile_img(img):
+        return img.reshape(n_rows, STILE_H, n_cols, STILE_W).transpose(0, 2, 1, 3).reshape(
+            n_tiles, STILE_H, STILE_W
+        )
+
+    txs, tys, th = tile_img(sx), tile_img(sy), tile_img(hit)
+    big = jnp.float32(1e9)
+    # Exact per-pixel occupancy via a factored one-hot einsum: occ[t, y, x]
+    # counts pixels whose cell is exactly (y, x) — NOT the product of the
+    # per-axis unions, so depth-discontinuity tiles stay sparse. (An earlier
+    # interval-product variant marked whole spans and exploded pair counts.)
+    npx = STILE_H * STILE_W
+    ar = jnp.arange(G, dtype=jnp.int32)
+    pjx = jnp.clip(jnp.floor(txs / lt), 0, G - 1).astype(jnp.int32).reshape(n_tiles, npx)
+    pjy = jnp.clip(jnp.floor(tys / lt), 0, G - 1).astype(jnp.int32).reshape(n_tiles, npx)
+    thf = th.reshape(n_tiles, npx)
+    ohx = ((pjx[..., None] == ar) & thf[..., None]).astype(jnp.bfloat16)  # (nT, npx, G)
+    ohy = ((pjy[..., None] == ar) & thf[..., None]).astype(jnp.bfloat16)
+    occ2d = jnp.einsum("tpy,tpx->tyx", ohy, ohx,
+                       preferred_element_type=jnp.float32)  # (nT, G, G)
+    occ_flat = (occ2d > 0.0).reshape(n_tiles, G * G).astype(jnp.bfloat16)
+
+    # ---- 2. Morton-sort casters, bin GROUPS of 8 ----
+    # Sorting by light-space Morton code makes consecutive table rows (and
+    # hence the kernel's GROUPs of 8) spatially tight, which (a) lets the
+    # whole pipeline bin 8-caster groups instead of casters — the pair mask,
+    # compaction and gathers all shrink 8x — and (b) makes the kernel's
+    # per-row cull bits actually cull (scattered groups span every row).
+    # XLA's TPU sort is cheap (~0.2 ms at 134k keys).
+    bx0, by0, bx1, by1 = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
+    live_v = bx0 <= bx1  # culled rows carry an empty sentinel bbox
+    ccx = jnp.clip(((bx0 + bx1) * (0.5 / lt)), 0, G - 1).astype(jnp.int32)
+    ccy = jnp.clip(((by0 + by1) * (0.5 / lt)), 0, G - 1).astype(jnp.int32)
+
+    def _spread(v):  # interleave zeros below each of 8 bits
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+
+    morton = _spread(ccx) | (_spread(ccy) << 1)
+    keys = jnp.where(live_v, morton, jnp.int32(2 ** 30))  # dead rows sort last
+    order = jnp.argsort(keys)
+
+    setup20 = jnp.concatenate([tris.setup, tris.bbox], axis=1)[order]  # (V, 20)
+    # Dead rows: edges that never cover + empty bbox, so group counts need
+    # no per-member validity masks in the kernel.
+    harmless = jnp.zeros(20, jnp.float32)
+    harmless = harmless.at[S_EC].set(-big).at[16].set(big).at[17].set(big)
+    harmless = harmless.at[18].set(-big).at[19].set(-big)
+    setup20 = jnp.where(live_v[order][:, None], setup20, harmless)
+
+    Vg = -(-V // GROUP)
+    if Vg * GROUP != V:
+        setup20 = jnp.pad(setup20, ((0, Vg * GROUP - V), (0, 0)))
+        setup20 = setup20.at[V:, S_EC].set(-big)
+    gbb = setup20[:, 16:20].reshape(Vg, GROUP, 4)
+    gx0v, gy0v = gbb[..., 0].min(-1), gbb[..., 1].min(-1)  # (Vg,)
+    gx1v, gy1v = gbb[..., 2].max(-1), gbb[..., 3].max(-1)
+
+    # Group g is relevant to cell j iff bbox+PCF pad overlaps the cell:
+    # j*lt - 2 < x1  and  j*lt + lt + 3 > x0
+    #  <=>  j in [floor((x0 - lt - 3)/lt) + 1, ceil((x1 + 2)/lt) - 1].
+    cx0 = jnp.floor((gx0v - lt - 3.0) / lt).astype(jnp.int32) + 1
+    cx1 = jnp.ceil((gx1v + 2.0) / lt).astype(jnp.int32) - 1
+    cy0 = jnp.floor((gy0v - lt - 3.0) / lt).astype(jnp.int32) + 1
+    cy1 = jnp.ceil((gy1v + 2.0) / lt).astype(jnp.int32) - 1
+    live_g = gx0v <= gx1v
+
+    # Multi-hot group->cell-interval matrix (y ⊗ x outer product; bf16 is
+    # exact for 0/1) matmul'd with the occupancy bitmap on the MXU. Chunked
+    # so the (chunk, G*G) multi-hot stays modest.
+    CH = min(16384, Vg)
+    Vp = -(-Vg // CH) * CH
+    def pad_v(a, fill):
+        return jnp.pad(a, (0, Vp - Vg), constant_values=fill) if Vp != Vg else a
+    cx0p, cx1p = pad_v(cx0, 1), pad_v(cx1, 0)
+    cy0p, cy1p = pad_v(cy0, 1), pad_v(cy1, 0)
+    livep = pad_v(live_g, False)
+
+    def chunk_mask(c):
+        s = c * CH
+        mx = ((ar >= jax.lax.dynamic_slice(cx0p, (s,), (CH,))[:, None])
+              & (ar <= jax.lax.dynamic_slice(cx1p, (s,), (CH,))[:, None]))
+        my = ((ar >= jax.lax.dynamic_slice(cy0p, (s,), (CH,))[:, None])
+              & (ar <= jax.lax.dynamic_slice(cy1p, (s,), (CH,))[:, None])
+              & jax.lax.dynamic_slice(livep, (s,), (CH,))[:, None])
+        mh = (my.astype(jnp.bfloat16)[:, :, None] * mx.astype(jnp.bfloat16)[:, None, :])
+        hits = jax.lax.dot_general(
+            mh.reshape(CH, G * G), occ_flat,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CH, n_tiles)
+        return (hits > 0.0).T  # (n_tiles, CH)
+
+    mask = jnp.concatenate([chunk_mask(c) for c in range(Vp // CH)], axis=1)[:, :Vg]
+
+    # ---- 3. per-tile group lists ----
+    cap_g = n_chunks
+    gids, gcounts = _compact_rows(mask, cap_g)
+    overflow = jnp.maximum(gcounts - cap_g, 0).sum()
+    gcounts = jnp.minimum(gcounts, cap_g)
+    counts = gcounts * GROUP
+    gl = jnp.clip(gids, 0, Vg - 1)
+    id_live = gids >= 0
+    fill_row = jnp.zeros((GROUP * 20,), jnp.float32)
+    fill_row = (
+        fill_row.reshape(GROUP, 20)
+        .at[:, S_EC].set(-big).at[:, 16].set(big).at[:, 17].set(big)
+        .at[:, 18].set(-big).at[:, 19].set(-big)
+        .reshape(-1)
+    )
+    bset20 = jnp.where(
+        id_live[..., None], setup20.reshape(Vg, GROUP * 20)[gl], fill_row
+    ).reshape(n_tiles, cap, 20)
+    bset = bset20[..., :16]
+
+    # ---- 4. per-(group, screen-row) live bits ----
+    rx0 = jnp.where(th, txs, big).min(-1)    # (nT, STILE_H)
+    rx1 = jnp.where(th, txs, -big).max(-1)
+    ry0 = jnp.where(th, tys, big).min(-1)
+    ry1 = jnp.where(th, tys, -big).max(-1)
+    if row_cull:
+        bb = bset20[..., 16:20].reshape(n_tiles, n_chunks, GROUP, 4)
+        gx0, gy0 = bb[..., 0].min(-1), bb[..., 1].min(-1)  # (nT, n_chunks)
+        gx1, gy1 = bb[..., 2].max(-1), bb[..., 3].max(-1)
+        live = (
+            (gx1[..., None] > (rx0 - 2.0)[:, None, :])
+            & (gx0[..., None] < (rx1 + 3.0)[:, None, :])
+            & (gy1[..., None] > (ry0 - 2.0)[:, None, :])
+            & (gy0[..., None] < (ry1 + 3.0)[:, None, :])
+        )  # (nT, n_chunks, STILE_H)
+    else:
+        live = jnp.ones((n_tiles, n_chunks, STILE_H), bool)
+    shifts = jnp.int32(1) << jnp.arange(32, dtype=jnp.int32)
+    row_bits = (live.astype(jnp.int32) * shifts).sum(-1)  # (nT, n_chunks)
+
+    coords = jnp.stack([txs, tys], axis=1)  # (nT, 2, STILE_H, STILE_W)
+
+    return counts, row_bits, bset, coords, overflow
+
+
+def shadow_occlusion_lt(
+    tris: TriSetup,
+    sx: jnp.ndarray,     # (H, W) light-space pixel x of each screen pixel
+    sy: jnp.ndarray,     # (H, W)
+    hit: jnp.ndarray,    # (H, W) bool
+    width: int,          # padded screen width (mult of 128)
+    height: int,         # padded screen height (mult of 32)
+    size: int,           # light viewport extent (texels)
+    *,
+    lt: int = 32,        # light-grid cell extent (texels)
+    tile_cap: int = 2048,  # per-screen-tile caster list capacity
+    seg_w: int = 32,     # screen-row segment width for occupancy (pixels)
+    row_cull: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Max occluder depth at the 12 PCF texel centers: (12, H, W), plus an
+    overflow counter.
+
+    Scaling redesign of shadow_occlusion for large caster counts. The naive
+    per-screen-tile bounding rect explodes to ~half the caster set for tiles
+    spanning depth discontinuities (a grazing ground tile traces a thin curve
+    through light space: union-of-cells is ~linear in arc length, the rect is
+    quadratic). Here each screen tile gets the EXACT union of casters near
+    the light-grid cells its pixels occupy:
+
+      1. occupancy bitmap occ[tile, cell] from per-32px-segment light-space
+         interval marks (outer products summed on the MXU),
+      2. pair mask[tile, caster] = multi-hot caster->cell-interval matrix
+         (built as a y-interval x x-interval outer product, bf16 is exact
+         for 0/1) matmul'd with the occupancy bitmap — one MXU pass instead
+         of thousands of per-cell list compactions,
+      3. one per-tile rank-select compaction + setup gather,
+      4. the occlusion kernel additionally skips whole 128-pixel screen rows
+         per caster group using precomputed group-bbox/row-extent overlap
+         bits (triangle order is per-object contiguous, so groups are
+         spatially tight).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = height // STILE_H
+    n_cols = width // STILE_W
+    n_tiles = n_rows * n_cols
+    V = tris.setup.shape[0]
+    cap = min(V, -(-min(tile_cap, V) // GROUP) * GROUP)
+    n_chunks = cap // GROUP
+
+    counts, row_bits, bset, coords, overflow = _build_tile_lists(
+        tris, sx, sy, hit, width, height, size, lt=lt, cap=cap, row_cull=row_cull
+    )
+
+    # ---- 5. kernel: per-tile grid, count-bounded chunk loop, row skip ----
+    def kernel(counts_ref, bits_ref, bset_ref, coords_ref, occ_ref, scr, bxy):
+        i = pl.program_id(0)
+        bxy[0:STILE_H] = jnp.floor(coords_ref[0, 0] - 0.5) + 0.5
+        bxy[STILE_H:] = jnp.floor(coords_ref[0, 1] - 0.5) + 0.5
+        # Per-offset, per-row (GROUP, 128) accumulators; the max over the
+        # GROUP sublanes is deferred to one reduction at tile end.
+        scr[...] = jnp.zeros((N_OFF * STILE_H * GROUP, STILE_W), jnp.float32)
+        cnt = counts_ref[i]
+
+        def chunk_body(ck, _):
+            blk = bset_ref[0, pl.ds(ck * GROUP, GROUP), :]
+            bits = bits_ref[0, 0, ck]
+
+            def cf(lane):
+                return blk[:, lane : lane + 1]  # (GROUP, 1)
+
+            a0, b0, c0 = cf(S_EA), cf(S_EB), cf(S_EC)
+            a1, b1, c1 = cf(S_EA + 1), cf(S_EB + 1), cf(S_EC + 1)
+            a2, b2, c2 = cf(S_EA + 2), cf(S_EB + 2), cf(S_EC + 2)
+            za, zb, zc = cf(S_ZA), cf(S_ZB), cf(S_ZC)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + ck * GROUP
+            ) < cnt
+            zsign = jnp.where(valid, 1.0, -1.0)
+            d0 = [a0 * float(dx) + b0 * float(dy) for (dx, dy) in PCF_OFFSETS]
+            d1 = [a1 * float(dx) + b1 * float(dy) for (dx, dy) in PCF_OFFSETS]
+            d2 = [a2 * float(dx) + b2 * float(dy) for (dx, dy) in PCF_OFFSETS]
+            dz = [(za * float(dx) + zb * float(dy)) * zsign for (dx, dy) in PCF_OFFSETS]
+
+            for r in range(STILE_H):
+                @pl.when(((bits >> r) & 1) != 0)
+                def _row(r=r):
+                    bx = bxy[r : r + 1, :]                 # (1, 128)
+                    by = bxy[STILE_H + r : STILE_H + r + 1, :]
+                    e0 = a0 * bx + b0 * by + c0            # (GROUP, 128)
+                    e1 = a1 * bx + b1 * by + c1
+                    e2 = a2 * bx + b2 * by + c2
+                    zv = (za * bx + zb * by + zc) * zsign
+                    for oi in range(N_OFF):
+                        cov = (
+                            ((e0 + d0[oi]) > 0.0)
+                            & ((e1 + d1[oi]) > 0.0)
+                            & ((e2 + d2[oi]) > 0.0)
+                        )
+                        zp = zv + dz[oi]
+                        zo = jnp.where(cov & (zp >= 0.0), zp, 0.0)  # (GROUP, 128)
+                        row = (oi * STILE_H + r) * GROUP
+                        scr[row : row + GROUP, :] = jnp.maximum(
+                            scr[row : row + GROUP, :], zo
+                        )
+
+            return _
+
+        jax.lax.fori_loop(0, pl.cdiv(cnt, GROUP), chunk_body, 0)
+        acc = scr[...].reshape(N_OFF * STILE_H, GROUP, STILE_W).max(axis=1)
+        occ_ref[0] = acc.reshape(N_OFF, STILE_H, STILE_W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # counts
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_chunks), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, 16), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 2, STILE_H, STILE_W), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N_OFF, STILE_H, STILE_W), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((N_OFF * STILE_H * GROUP, STILE_W), jnp.float32),
+            pltpu.VMEM((2 * STILE_H, STILE_W), jnp.float32),
+        ],
+    )
+
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, N_OFF, STILE_H, STILE_W), jnp.float32),
+        interpret=interpret,
+    )(counts, row_bits[:, None, :], bset, coords)
+
+    occ = tiles.reshape(n_rows, n_cols, N_OFF, STILE_H, STILE_W)
+    return occ.transpose(2, 0, 3, 1, 4).reshape(N_OFF, height, width), overflow
+
 
 
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

@@ -517,9 +517,14 @@ class BaseRenderGraph:
                             cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
                             subpixel=True,  # sub-texel casters can't mark any texel center
                         )
-                        occ = shadow_ops.shadow_occlusion(
-                            stris, sx, sy, hitp, wp, hp, interpret=interp
-                        )
+                        if interp:
+                            occ = shadow_ops.shadow_occlusion(
+                                stris, sx, sy, hitp, wp, hp, interpret=True
+                            )
+                        else:
+                            occ, _soverflow = shadow_ops.shadow_occlusion_lt(
+                                stris, sx, sy, hitp, wp, hp, size
+                            )
                         pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
 
                         # Reference bounds expressions (opaque.wgsl, incl. the
