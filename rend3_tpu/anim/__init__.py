@@ -101,10 +101,14 @@ class AnimationData:
             joints = skin["joints"]
             node_to_joint = {n: j for j, n in enumerate(joints)}
             topo = [n for n in instance.topo_order if n in node_to_joint]
-            # Skeleton handles: all skeletons instanced from nodes using this skin.
+            # Skeleton handles: only skeletons instanced from nodes whose
+            # armature uses THIS skin (reference lib.rs:127-135 filters by
+            # armature.skin_index); collecting them all would write every
+            # skin's joint matrices into every skeleton in multi-skin scenes.
             skeletons = []
             for node_idx, handles in instance.skeletons.items():
-                skeletons.extend(handles)
+                if instance.node_skins.get(node_idx) == si:
+                    skeletons.extend(handles)
             data.skin_data[si] = {
                 "node_to_joint": node_to_joint,
                 "topo": topo,
@@ -134,6 +138,15 @@ def pose_animation_frame(renderer, scene, instance, animation_data: AnimationDat
             s = s.copy()
             s[2] = -s[2]
         local_matrices[node_idx] = _compose_trs(np.asarray(t, np.float32), np.asarray(q, np.float32), np.asarray(s, np.float32))
+
+    # Rigid (non-skinned) TRS animation: animated nodes that own mesh
+    # primitives get their object transforms set to the sampled LOCAL matrix
+    # (reference lib.rs:205-210 — the reference deliberately uses the local
+    # matrix, not the composed world transform; kept for parity, including
+    # the Z-scale flip applied above for left-handed renderers).
+    for node_idx, m in local_matrices.items():
+        for obj_handle in instance.objects_by_node.get(node_idx, []):
+            renderer.set_object_transform(obj_handle, m)
 
     used_skins = animation_data.animation_skin_usage.get(animation_index, [])
     for si in used_skins:

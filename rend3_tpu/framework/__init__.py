@@ -67,9 +67,13 @@ def render_single_frame(app: App, width: int, height: int) -> np.ndarray:
     return start(app, width, height, frames=1)[-1]
 
 
-def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 1 / 60) -> list:
+def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 0.0) -> list:
     """Headless event loop: setup once, then `frames` redraws. Returns the
-    rendered images."""
+    rendered images.
+
+    frame_dt defaults to 0.0 to mirror the reference's headless screenshot
+    harness (examples/src/tests.rs:79 `delta_t_seconds: 0.0`), so animated
+    examples render their t=0 pose; live viewers pass a real delta."""
     renderer = Renderer(handedness=app.HANDEDNESS, aspect_ratio=width / height)
     base_graph = BaseRenderGraph(renderer)
     app.setup(SetupContext(renderer=renderer, base_graph=base_graph, resolution=(width, height)))

@@ -84,6 +84,8 @@ class LoadedGltfScene:
 class GltfSceneInstance:
     objects: List[object] = field(default_factory=list)
     skeletons: Dict[int, List[object]] = field(default_factory=dict)  # node -> skeleton handles
+    node_skins: Dict[int, int] = field(default_factory=dict)  # node -> skin index (armature.skin_index)
+    objects_by_node: Dict[int, List[object]] = field(default_factory=dict)  # node -> object handles
     lights: List[object] = field(default_factory=list)
     node_transforms: List[np.ndarray] = field(default_factory=list)
     node_parents: List[Optional[int]] = field(default_factory=list)
@@ -229,15 +231,26 @@ def load_gltf_data(renderer: Renderer, file: _GltfFile, settings: GltfLoadSettin
             value=base_color,
             texture=get_texture(base_tex["index"] if base_tex else None, True),
         )
+        # AoMR mapping (reference lib.rs:904-921): Combined only when the
+        # occlusion texture IS the metallicRoughness texture; otherwise
+        # SwizzledSplit with the MR texture + a separate (optional) AO
+        # texture. (The reference's Split arm requires a <3-component AO
+        # format; we decode all images to RGBA, so it never applies.)
         mr_tex = pmr.get("metallicRoughnessTexture")
-        aomr = AoMRTextures(
-            mode="combined" if mr_tex is not None else "none",
-            aomr_texture=get_texture(mr_tex["index"] if mr_tex else None, False),
-            ao_texture=None,
-        )
         occ = mat.get("occlusionTexture")
-        if occ is not None and mr_tex is not None and occ["index"] == mr_tex["index"]:
-            pass  # combined handles AO in red channel
+        if mr_tex is not None and occ is not None and occ["index"] == mr_tex["index"]:
+            aomr = AoMRTextures(
+                mode="combined",
+                aomr_texture=get_texture(mr_tex["index"], False),
+            )
+        elif mr_tex is not None or occ is not None:
+            aomr = AoMRTextures(
+                mode="swizzled_split",
+                aomr_texture=get_texture(mr_tex["index"] if mr_tex else None, False),
+                ao_texture=get_texture(occ["index"] if occ else None, False),
+            )
+        else:
+            aomr = AoMRTextures(mode="none")
         nrm = mat.get("normalTexture")
         normal = NormalTexture(
             texture=get_texture(nrm["index"] if nrm else None, False),
@@ -395,6 +408,7 @@ def instance_loaded_scene(
                     jm = np.tile(np.eye(4, dtype=np.float32), (len(skin["joints"]), 1, 1))
                     sk_handle = renderer.add_skeleton(Skeleton(mesh=mesh_handle, joint_matrices=jm))
                     inst.skeletons.setdefault(i, []).append(sk_handle)
+                    inst.node_skins[i] = skin_idx
                     obj = Object(
                         mesh_kind=AnimatedMeshKind(sk_handle), material=material, transform=world[i]
                     )
@@ -402,7 +416,9 @@ def instance_loaded_scene(
                     obj = Object(
                         mesh_kind=StaticMeshKind(mesh_handle), material=material, transform=world[i]
                     )
-                inst.objects.append(renderer.add_object(obj))
+                handle = renderer.add_object(obj)
+                inst.objects.append(handle)
+                inst.objects_by_node.setdefault(i, []).append(handle)
         lt = node.get("extensions", {}).get("KHR_lights_punctual")
         if lt is not None and settings.enable_directional:
             light = ext_lights[lt["light"]]

@@ -167,6 +167,21 @@ def cull_and_setup(
     ec = (yn - yo) * xo - (xn - xo) * yo
     tl = _top_left(xo, yo, xn, yn).astype(jnp.float32)  # (T, 3)
 
+    # Watertight shared edges: anchor the c coefficient at the
+    # lexicographically-smaller endpoint so the two triangles sharing an edge
+    # compute bitwise-opposite edge functions (float negation is exact and
+    # rounding is sign-symmetric). Without this, a pixel center lying exactly
+    # on a shared edge can round to "outside" for BOTH triangles and drop out
+    # (the msaa sample-coverage golden's diagonal). ea/eb are already exact
+    # negations across the shared edge; only ec is anchor-dependent.
+    swap = (xn < xo) | ((xn == xo) & (yn < yo))
+    sgn = jnp.where(swap, -1.0, 1.0)
+    lx = jnp.where(swap, xn, xo)
+    hx = jnp.where(swap, xo, xn)
+    ly = jnp.where(swap, yn, yo)
+    hy = jnp.where(swap, yo, yn)
+    ec_canon = sgn * ((hy - ly) * lx - (hx - lx) * ly)
+
     # Depth plane: z(p) = sum_i z_i * e_opp_i(p) / area. Opposite edge of
     # corner 0 is edge 1 (1->2), corner 1 -> edge 2, corner 2 -> edge 0.
     area_o = (xo[:, 1] - xo[:, 0]) * (yo[:, 2] - yo[:, 0]) - (xo[:, 2] - xo[:, 0]) * (yo[:, 1] - yo[:, 0])
@@ -189,7 +204,7 @@ def cull_and_setup(
         [
             ea[:, 0], ea[:, 1], ea[:, 2],
             eb[:, 0], eb[:, 1], eb[:, 2],
-            ec[:, 0], ec[:, 1], ec[:, 2],
+            ec_canon[:, 0], ec_canon[:, 1], ec_canon[:, 2],
             za, zb, zc,
             tl[:, 0],
             jnp.zeros_like(za),  # S_ID placeholder

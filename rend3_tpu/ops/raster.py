@@ -68,6 +68,20 @@ def _edge(ax, ay, bx, by, px, py):
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
 
 
+def _edge_canonical(ax, ay, bx, by, px, py):
+    """Watertight edge function: evaluated from the lexicographically-smaller
+    endpoint and sign-corrected, so the two triangles sharing an edge get
+    bitwise-opposite values (float negation is exact). Prevents a pixel
+    center exactly on a shared edge from rounding to outside for both."""
+    swap = (bx < ax) | ((bx == ax) & (by < ay))
+    lx = jnp.where(swap, bx, ax)
+    hx = jnp.where(swap, ax, bx)
+    ly = jnp.where(swap, by, ay)
+    hy = jnp.where(swap, ay, by)
+    sgn = jnp.where(swap, -1.0, 1.0)
+    return sgn * _edge(lx, ly, hx, hy, px, py)
+
+
 def _top_left(ax, ay, bx, by):
     """wgpu top-left fill rule for a CCW(-in-screen-space) triangle edge a->b."""
     dy = by - ay
@@ -186,9 +200,9 @@ def rasterize(
         new_depth, new_tri = depth, tri
         for s, (px, py) in enumerate(grids):
             # Edge functions at this sample position: (C, 3, H, W)
-            e = _edge(ax[:, :, None, None], ay[:, :, None, None],
-                      bx[:, :, None, None], by[:, :, None, None],
-                      px[None, None], py[None, None])
+            e = _edge_canonical(ax[:, :, None, None], ay[:, :, None, None],
+                                bx[:, :, None, None], by[:, :, None, None],
+                                px[None, None], py[None, None])
             inside = (e > 0.0) | ((e == 0.0) & tl[:, :, None, None])
             cov = inside.all(axis=1) & ck[:, None, None]  # (C, H, W)
 

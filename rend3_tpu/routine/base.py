@@ -527,14 +527,19 @@ class BaseRenderGraph:
                             )
                         pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
 
-                        # Reference bounds expressions (opaque.wgsl, incl. the
-                        # any() quirk), in per-light map uv space.
+                        # Reference bounds expressions (opaque.wgsl:509-514,
+                        # incl. the any() quirk AND its comparison of the
+                        # light-local flipped coords against ATLAS-space
+                        # borders) — identical to the forward path in
+                        # ops/shade.py so both backends match the reference.
                         flipped_x = ndc_xyz[0] * 0.5 + 0.5
                         flipped_y = ndc_xyz[1] * 0.5 + 0.5
-                        border = 1.5 / size
+                        border = dir_lights.inv_resolution[k] * 1.5
+                        tl_b = dir_lights.atlas_offset[k] + border
+                        tr_b = dir_lights.atlas_offset[k] + dir_lights.atlas_size[k] - border
                         in_bounds = (
-                            ((flipped_x >= border) | (flipped_y >= border))
-                            & ((flipped_x <= 1.0 - border) | (flipped_y <= 1.0 - border))
+                            ((flipped_x >= tl_b[0]) | (flipped_y >= tl_b[1]))
+                            & ((flipped_x <= tr_b[0]) | (flipped_y <= tr_b[1]))
                             & (ref >= 0.0)
                             & (ref <= 1.0)
                         )
