@@ -130,9 +130,12 @@ def main():
     runner.renderer.swap_instruction_buffers()
     eval_output = runner.renderer.evaluate_instructions()
 
-    program, args = runner.base_graph.build_frame_callable(
-        eval_output, FrameRenderTarget(width, height, 1), BaseRenderGraphSettings(ambient_color=(0.08, 0.08, 0.1, 1.0))
-    )
+    settings = BaseRenderGraphSettings(ambient_color=(0.08, 0.08, 0.1, 1.0))
+    target = FrameRenderTarget(width, height, 1)
+    # Settle adaptive survivor capacities (render_frame grows them and
+    # re-renders on overflow) so the timed program matches steady state.
+    runner.base_graph.render_frame(eval_output, target, settings)
+    program, args = runner.base_graph.build_frame_callable(eval_output, target, settings)
 
     # The axon tunnel dispatches asynchronously and caches identical repeat
     # computations, so measure with a device-side loop (utils/devbench).

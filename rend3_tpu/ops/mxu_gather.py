@@ -1,0 +1,235 @@
+"""Gather-by-matmul: sampling a 2D grid at per-pixel coordinates on the MXU.
+
+TPUs have no per-lane dynamic gather: sampling a shadow map / texture atlas
+at 2M per-pixel addresses via XLA gathers costs ~22 ms per tap at 1080p. The
+reference renderer leans on hardware samplers for exactly this
+(rend3-routine samplers.rs, opaque.wgsl textureSampleGrad / PCF taps); this
+module is the TPU-native replacement:
+
+  1. the source grid is cut into LT x LT cell tiles with a halo sized for
+     the requested static offset footprint (e.g. the 12 texel PCF5 taps),
+  2. each (32, 128) screen tile gets the exact list of grid cells its
+     pixels address (factored one-hot occupancy einsum -> rank-select
+     compaction; the same machinery as the geometry binning),
+  3. a Pallas kernel walks (screen tile, cell) pairs: one-hot row/column
+     vectors select each pixel's cell-relative row via an MXU matmul
+     (onehot_y @ tile_rows) and its column via a lane-rotate + masked
+     reduction -- every "gather" is dense VPU/MXU work, zero scalar loads.
+
+Exact: one-hot f32 matmul reproduces the addressed f32 value bit-for-bit
+(1.0 * v sums over a single nonzero term).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["GatherGrid", "build_grid_tiles", "pair_lists", "sample_grid"]
+
+STILE_H = 32   # screen tile height (pixels)
+STILE_W = 128  # screen tile width (pixels / lanes)
+LT = 64        # source-grid cell extent (texels per axis)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class GatherGrid:
+    """Pre-tiled source grid: (n_cells, R, 128) f32 blocks with halo."""
+
+    def __init__(self, tiles, Gy, Gx, hlo, R):
+        self.tiles = tiles
+        self.Gy = Gy
+        self.Gx = Gx
+        self.hlo = hlo   # halo below the cell origin (rows AND cols)
+        self.R = R       # rows per tile block
+
+
+def build_grid_tiles(img: jnp.ndarray, hlo: int, hhi: int) -> GatherGrid:
+    """Cut img (H, W) into (Gy*Gx, R, 128) tile blocks.
+
+    Block c=(cy, cx) rows cover source rows [cy*LT - hlo, cy*LT + LT + hhi)
+    and lanes cover source cols [cx*LT - hlo, cx*LT + 127 - hlo]; lanes
+    beyond LT + hlo + hhi are over-read slack that the one-hots never match.
+    Out-of-image texels read 0.
+    """
+    H, W = img.shape
+    Gy, Gx = _cdiv(H, LT), _cdiv(W, LT)
+    R = LT + hlo + hhi
+    R = _cdiv(R, 8) * 8  # sublane-align f32 blocks
+
+    padded = jnp.pad(
+        img,
+        ((hlo, Gy * LT + R - H), (hlo, (Gx - 1) * LT + STILE_W - W)),
+    )
+    ar_r = jnp.arange(R)
+    row_idx = (jnp.arange(Gy)[:, None] * LT + ar_r[None, :]).reshape(-1)
+    rows = padded[row_idx]                                   # (Gy*R, Wp)
+    col_idx = (jnp.arange(Gx)[:, None] * LT + jnp.arange(STILE_W)[None, :]).reshape(-1)
+    tiles = rows[:, col_idx]                                 # (Gy*R, Gx*128)
+    tiles = tiles.reshape(Gy, R, Gx, STILE_W).transpose(0, 2, 1, 3).reshape(Gy * Gx, R, STILE_W)
+    return GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=hlo, R=R)
+
+
+def pair_lists(
+    bx: jnp.ndarray,     # (H, W) int32 base col per pixel
+    by: jnp.ndarray,     # (H, W) int32 base row per pixel
+    valid: jnp.ndarray,  # (H, W) bool
+    Gy: int,
+    Gx: int,
+    cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-screen-tile source-cell lists: ids (nT, cap) into the flat cell
+    grid (-1 padded), counts (nT,), overflow ().
+
+    A pixel addresses the cell containing its base texel; the offset
+    footprint stays inside that cell's halo by construction.
+    """
+    from .geometry import _compact_rows
+
+    H, W = bx.shape
+    n_rows, n_cols = H // STILE_H, W // STILE_W
+    nT = n_rows * n_cols
+    npx = STILE_H * STILE_W
+
+    def tile_flat(a):
+        return (
+            a.reshape(n_rows, STILE_H, n_cols, STILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(nT, npx)
+        )
+
+    cx = jnp.floor_divide(tile_flat(bx), LT)
+    cy = jnp.floor_divide(tile_flat(by), LT)
+    ok = tile_flat(valid) & (cx >= 0) & (cx < Gx) & (cy >= 0) & (cy < Gy)
+
+    ohx = ((cx[..., None] == jnp.arange(Gx)) & ok[..., None]).astype(jnp.bfloat16)
+    ohy = ((cy[..., None] == jnp.arange(Gy)) & ok[..., None]).astype(jnp.bfloat16)
+    occ = jnp.einsum("tpy,tpx->tyx", ohy, ohx, preferred_element_type=jnp.float32)
+    ids, counts = _compact_rows((occ > 0.0).reshape(nT, Gy * Gx), cap)
+    overflow = jnp.maximum(counts - cap, 0).sum()
+    return ids, jnp.minimum(counts, cap), overflow
+
+
+def sample_grid(
+    img: jnp.ndarray,              # (Hs, Ws) f32 source grid
+    bx: jnp.ndarray,               # (H, W) int32 base col per pixel
+    by: jnp.ndarray,               # (H, W) int32 base row per pixel
+    valid: jnp.ndarray,            # (H, W) bool
+    offsets: Sequence[Tuple[int, int]],  # static (dx, dy) taps
+    *,
+    pair_cap: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """img[by+dy, bx+dx] for every pixel and every static offset.
+
+    Returns values (n_off, H, W) f32 (0.0 where invalid / out of grid /
+    dropped by pair overflow) and the pair-overflow counter.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = bx.shape
+    assert H % STILE_H == 0 and W % STILE_W == 0, (H, W)
+    n_rows, n_cols = H // STILE_H, W // STILE_W
+    nT = n_rows * n_cols
+    npx = STILE_H * STILE_W
+    n_off = len(offsets)
+    OL = _cdiv(n_off, 8) * 8  # output lane padding (VMEM min f32 is fine; keep small)
+
+    Hs_src, Ws_src = img.shape
+    dxs = sorted({dx for dx, _ in offsets})
+    dys = sorted({dy for _, dy in offsets})
+    hlo = max(0, -min(min(dxs), min(dys)))
+    hhi = max(0, max(max(dxs), max(dys)))
+    grid = build_grid_tiles(img, hlo, hhi)
+    Gy, Gx, R = grid.Gy, grid.Gx, grid.R
+
+    cap = min(pair_cap, Gy * Gx)
+    ids, counts, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
+    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
+
+    # Pixel coords, pixels-on-LANES layout (nT, 2, npx): one-hot rows live on
+    # sublanes so every block is padding-free and no in-kernel relayouts occur.
+    def tile_flat(a):
+        return (
+            a.reshape(n_rows, STILE_H, n_cols, STILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(nT, npx)
+        )
+
+    bad = jnp.int32(-(1 << 20))
+    bxt = jnp.where(tile_flat(valid), tile_flat(bx), bad)
+    byt = jnp.where(tile_flat(valid), tile_flat(by), bad)
+    coords = jnp.stack([bxt, byt], axis=1)                   # (nT, 2, npx)
+
+    def kernel(counts_ref, pids_ref, tile_ref, coords_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
+        sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros((1, OL, npx), jnp.float32)
+
+        @pl.when(j < counts_ref[i])
+        def _pair():
+            pid = pids_ref[i * cap + j]
+            cy = pid // Gx
+            cx = pid - cy * Gx
+            bxv = coords_ref[0, 0:1, :]                      # (1, npx)
+            byv = coords_ref[0, 1:2, :]
+            rel_x = bxv - cx * LT + hlo                      # sublane of base col
+            rel_y = byv - cy * LT                            # cell-local row
+            own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= hlo) & (rel_x < hlo + LT)
+            own &= (bxv >= 0) & (bxv < Ws_src) & (byv >= 0) & (byv < Hs_src)
+            ohy = (jnp.where(own, rel_y, -1) == sub64).astype(jnp.float32)   # (64, npx)
+            ohx = (jnp.where(own, rel_x, -1) == sub128).astype(jnp.float32)  # (128, npx)
+
+            rows = []
+            for dy in dys:
+                trows = tile_ref[0, pl.ds(hlo + dy, LT), :]  # (64, 128)
+                r2 = jax.lax.dot_general(
+                    trows, ohy,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                            # (128 cols, npx)
+                for dx in dxs:
+                    if (dx, dy) not in offsets:
+                        continue
+                    shifted = pltpu.roll(r2, (-dx) % STILE_W, 0) if dx else r2
+                    rows.append((ohx * shifted).sum(axis=0, keepdims=True))
+            # rows ordered (dy-major, dx-minor); map back to the caller's
+            # offset order.
+            order = sorted(range(n_off), key=lambda k: (offsets[k][1], offsets[k][0]))
+            cols = [None] * n_off
+            for slot, k in enumerate(order):
+                cols[k] = rows[slot]
+            cols += [jnp.zeros((1, npx), jnp.float32)] * (OL - n_off)
+            out_ref[0] = out_ref[0] + jnp.concatenate(cols, axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # counts, pids
+        grid=(nT, cap),
+        in_specs=[
+            pl.BlockSpec((1, R, STILE_W), lambda i, j, c, p: (p[i * cap + j], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda i, j, c, p: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, OL, npx), lambda i, j, c, p: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nT, OL, npx), jnp.float32),
+        interpret=interpret,
+    )(counts, pids, grid.tiles, coords)
+
+    out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
+    out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
+    return out, overflow

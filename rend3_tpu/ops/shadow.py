@@ -574,6 +574,29 @@ def shadow_occlusion_lt(
 
 
 
+def sample_shadow_map(
+    smap: jnp.ndarray,   # (size, size) rasterized max-depth shadow map
+    sx: jnp.ndarray,     # (H, W) light-space pixel x of each screen pixel
+    sy: jnp.ndarray,     # (H, W)
+    hit: jnp.ndarray,    # (H, W) bool
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Occluder depth at the 12 PCF texel centers via the MXU gather kernel
+    (ops/mxu_gather.py): (12, H, W), plus the pair-overflow counter.
+
+    The map analog of the reference's shadow atlas sampling
+    (rend3-routine/shaders/src/opaque.wgsl PCF taps): the shadow map is
+    rasterized once per light with the fast depth kernel, then every screen
+    pixel reads its 12 taps with gather-by-matmul. Texels never touched by a
+    caster hold 0.0, matching the cleared-atlas convention."""
+    from . import mxu_gather as mg
+
+    bx = jnp.floor(sx - 0.5).astype(jnp.int32)
+    by = jnp.floor(sy - 0.5).astype(jnp.int32)
+    return mg.sample_grid(smap, bx, by, hit, PCF_OFFSETS, interpret=interpret)
+
+
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """Exact PCF5-with-bilinear-GE from the 12 occluder depths (elementwise).
 

@@ -35,6 +35,11 @@ from ..types import Handedness
 from ..types.material import SortingOrder
 
 
+# Diagnostic: truncate the frame program after a named stage ("geom", "gbuf",
+# "shadow", "light") so fused-prefix timings can localize cost (tools/).
+_DEBUG_STOP_AFTER = None
+
+
 def default_raster_backend() -> str:
     """'pallas' on TPU, 'binned_xla' elsewhere; 'reference' for the O(T*P)
     oracle. Override via RasterConfig or the REND3_TPU_RASTER env var."""
@@ -129,6 +134,19 @@ class BaseRenderGraph:
         # carried predicted-visible triangle mask across frames.
         self.occlusion_culling = False
         self._prev_visible_mask = None
+        # Adaptive survivor-table capacities (the reference's pow2-growing
+        # culling output buffers, culling/suballoc.rs): the cull compaction
+        # writes into a table of this size; render_frame grows it (and
+        # re-renders) when the surviving count overflows.
+        self._caps: Dict[str, int] = {}
+        self.last_stats: Dict[str, int] = {}
+
+    def _survivor_cap(self, kind: str, table: int) -> int:
+        cap = self._caps.get(kind, 0)
+        if cap == 0:
+            cap = max(4096, _pad_pow2(max(1, table // 4), minimum=4096))
+            self._caps[kind] = cap
+        return min(cap, table)
 
     # -- host-side frame assembly ----------------------------------------------
 
@@ -140,13 +158,43 @@ class BaseRenderGraph:
         skybox_slot: Optional[int] = None,
     ) -> np.ndarray:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
-        program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
-        out = program(*args)
-        if isinstance(out, tuple):
-            img, mask = out
+        for _attempt in range(4):
+            program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
+            out = program(*args)
+            img, mask, aux = out
+            counts = np.asarray(jax.device_get(aux))
+            if not self._grow_caps(counts):
+                break
+        if mask.shape[0] > 1:
             self._prev_visible_mask = mask
-            return np.asarray(jax.device_get(img))
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(img))
+
+    def _grow_caps(self, counts: np.ndarray) -> bool:
+        """Grow survivor capacities from the frame's aux counters; True if a
+        capacity changed (the frame dropped geometry and must re-render).
+        aux layout: [main_count, shadow_count_max, bin_overflow_sum,
+        pair_overflow]."""
+        main_cap, shadow_cap = self._last_caps
+        grew = False
+        if counts[0] > main_cap:
+            self._caps["main"] = _pad_pow2(int(counts[0]), minimum=4096)
+            grew = True
+        if counts[1] > shadow_cap:
+            self._caps["shadow"] = _pad_pow2(int(counts[1]), minimum=4096)
+            grew = True
+        self.last_stats = {
+            "main_survivors": int(counts[0]),
+            "shadow_survivors": int(counts[1]),
+            "bin_overflow": int(counts[2]),
+            "sample_pair_overflow": int(counts[3]),
+        }
+        if self.last_stats["bin_overflow"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "tile-bin overflow: %d triangle-tile pairs dropped", counts[2]
+            )
+        return grew
 
     def build_frame_callable(
         self,
@@ -280,6 +328,10 @@ class BaseRenderGraph:
 
         backend = default_raster_backend()
         occ = self.occlusion_culling and target.samples == 1 and backend != "reference"
+        ctable = tcap + 3 * min(1024, tcap)  # post-clip table size (clip_triangles)
+        main_cap = self._survivor_cap("main", ctable)
+        shadow_cap = self._survivor_cap("shadow", ctable)
+        self._last_caps = (main_cap, shadow_cap)
         key = (
             target.width,
             target.height,
@@ -291,6 +343,8 @@ class BaseRenderGraph:
             cube_textures is not None and skybox_slot is not None,
             backend,
             occ,
+            main_cap,
+            shadow_cap,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -340,7 +394,8 @@ class BaseRenderGraph:
     # -- the jitted frame program ----------------------------------------------
 
     def _build_program(self, key):
-        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox, backend, occlusion) = key
+        (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
+         backend, occlusion, main_cap, shadow_cap) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -373,6 +428,12 @@ class BaseRenderGraph:
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
             use_deferred = backend != "reference" and samples == 1
+            # Capacity/overflow counters surfaced to the host (render_frame
+            # grows survivor caps and re-renders on overflow).
+            main_count = jnp.int32(0)
+            shadow_counts = []
+            bin_overflows = []
+            pair_overflows = []
 
             # Pre-gather triangle corner positions once (post-skinning) and
             # share across the main + shadow + occlusion passes — the per-tri
@@ -441,11 +502,12 @@ class BaseRenderGraph:
                     ptris = geom_ops.cull_and_setup(
                         clipped.clip, pvalid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
+                        cap=main_cap,
                     )
                     n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                     pbinned = geom_ops.bin_triangles(
                         ptris, wp, hp,
-                        tile_cap=_tile_cap_for(clipped.clip.shape[0], n_tiles_d),
+                        tile_cap=_tile_cap_for(main_cap, n_tiles_d),
                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                     )
                     pdepth = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
@@ -454,7 +516,7 @@ class BaseRenderGraph:
                 tris = geom_ops.cull_and_setup(
                     clipped.clip, clipped.valid, width, height,
                     cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
-                    hiz=hiz_pyramid,
+                    hiz=hiz_pyramid, cap=main_cap,
                 )
                 if occlusion:
                     # Next frame's predicted set = this frame's cull survivors
@@ -473,12 +535,18 @@ class BaseRenderGraph:
                 n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                 binned = geom_ops.bin_triangles(
                     tris, wp, hp,
-                    tile_cap=_tile_cap_for(clipped.clip.shape[0], n_tiles_d),
+                    tile_cap=_tile_cap_for(main_cap, n_tiles_d),
                     tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                 )
+                if _DEBUG_STOP_AFTER == "geom":
+                    return planes, binned.counts, tris.count
                 gbuf_p = def_ops.raster_resolve(
                     tris, planes, binned, wp, hp, interpret=interp
                 )
+                main_count = tris.count
+                bin_overflows.append(binned.overflow)
+                if _DEBUG_STOP_AFTER == "gbuf":
+                    return gbuf_p.data
 
                 # ---- map-free shadow resolve (exact PCF5, zero gathers) ----
                 # Always precomputed in deferred mode: masked light slots get
@@ -516,15 +584,26 @@ class BaseRenderGraph:
                             sclipped.clip, sclipped.valid, size, size,
                             cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
                             subpixel=True,  # sub-texel casters can't mark any texel center
+                            cap=shadow_cap,
                         )
-                        if interp:
-                            occ = shadow_ops.shadow_occlusion(
-                                stris, sx, sy, hitp, wp, hp, interpret=True
-                            )
-                        else:
-                            occ, _soverflow = shadow_ops.shadow_occlusion_lt(
-                                stris, sx, sy, hitp, wp, hp, size
-                            )
+                        # Rasterize the light's depth map once (the reference's
+                        # shadow pass, base.rs shadow node), then take the 12
+                        # PCF taps per screen pixel with the MXU gather kernel.
+                        swp = _round_up(size, def_ops.DTILE_W)
+                        shp = _round_up(size, def_ops.DTILE_H)
+                        n_tiles_s = (swp // def_ops.DTILE_W) * (shp // def_ops.DTILE_H)
+                        sbinned = geom_ops.bin_triangles(
+                            stris, swp, shp,
+                            tile_cap=_tile_cap_for(shadow_cap, n_tiles_s),
+                            tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                        )
+                        smap = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp)
+                        occ, soverflow = shadow_ops.sample_shadow_map(
+                            smap[:size, :size], sx, sy, hitp, interpret=interp
+                        )
+                        shadow_counts.append(stris.count)
+                        bin_overflows.append(sbinned.overflow)
+                        pair_overflows.append(soverflow)
                         pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
 
                         # Reference bounds expressions (opaque.wgsl:509-514,
@@ -549,12 +628,16 @@ class BaseRenderGraph:
                         svals.append(jnp.ones((hp, wp), jnp.float32))
                     shadow_values = jnp.stack(svals)[:, :height, :width]
 
+                if _DEBUG_STOP_AFTER == "shadow":
+                    return shadow_values
                 gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
                 img = light_ops.light_gbuffer(
                     gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
                     background[0], textures=textures if has_tex else None,
                     shadow_values=shadow_values,
                 )[None]
+                if _DEBUG_STOP_AFTER == "light":
+                    return img
                 vis = raster_ops.VisBuffer(
                     depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
                 )
@@ -602,9 +685,16 @@ class BaseRenderGraph:
             img = blit_ops.f16_roundtrip(img)
             resolved = blit_ops.resolve_samples(img)
             out = blit_ops.hdr_to_srgb_u8(resolved)
-            if occlusion:
-                return out, new_mask
-            return out
+            aux = jnp.stack(
+                [
+                    main_count,
+                    functools.reduce(jnp.maximum, shadow_counts, jnp.int32(0)),
+                    sum(bin_overflows, jnp.int32(0)).astype(jnp.int32),
+                    sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
+                ]
+            )
+            mask_out = new_mask if occlusion else jnp.zeros(1, bool)
+            return out, mask_out, aux
 
         return jax.jit(frame)
 

@@ -122,8 +122,11 @@ def main():
     ledger["5 raster_resolve"] = time_op(s5, tris, planes, binned, name="5 raster_resolve")
     gbuf_p = jax.jit(s5)(tris, planes, binned)
 
-    # --- stage 6: shadow resolve (full: world reconstr + cull + occl + pcf) ---
-    def s6(gp, transforms, tri_pos):
+    # --- stage 6: shadow resolve, split into sub-stages ---
+    from rend3_tpu.routine.base import _round_up as _ru
+
+    def s6a(gp):
+        """World reconstruction + light-space coords."""
         den = gp[def_ops.G_DEN]
         invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
         vp_img = gp[def_ops.G_VP: def_ops.G_VP + 3] * invden[None]
@@ -139,7 +142,17 @@ def main():
             ndc_xyz = ndc[:3] / ndcw[None]
             sx = (ndc_xyz[0] * 0.5 + 0.5) * size
             sy = (0.5 - ndc_xyz[1] * 0.5) * size
-            ref = ndc_xyz[2]
+            outs.append((sx, sy, ndc_xyz[2]))
+        return outs, hitp
+
+    ledger["6a shadow coords"] = time_op(lambda gp: s6a(gp)[0], gbuf_p.data, name="6a shadow coords")
+    coords_out, hitp = jax.jit(s6a)(gbuf_p.data)
+
+    def s6b(transforms, tri_pos):
+        """Shadow geometry + depth-map raster per light."""
+        maps = []
+        for k, (li, (ox, oy), size) in enumerate(plan):
+            svp = dir_lights.view_proj[k]
             _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
             svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
             sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp, tri_pos=tri_pos)
@@ -147,13 +160,27 @@ def main():
             stris = geom_ops.cull_and_setup(sclipped.clip, sclipped.valid, size, size,
                                             cull_mode=raster_ops.CullMode.FRONT,
                                             front_is_cw=front_cw, subpixel=True)
-            occ, _ov = shadow_ops.shadow_occlusion_lt(stris, sx, sy, hitp, wp, hp, size)
-            pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
-            outs.append(pcf)
+            swp, shp = _ru(size, def_ops.DTILE_W), _ru(size, def_ops.DTILE_H)
+            nts = (swp // def_ops.DTILE_W) * (shp // def_ops.DTILE_H)
+            sbinned = geom_ops.bin_triangles(
+                stris, swp, shp, tile_cap=_tile_cap_for(sclipped.clip.shape[0], nts),
+                tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W)
+            maps.append(def_ops.raster_depth(stris, sbinned, swp, shp)[:size, :size])
+        return maps
+
+    ledger["6b shadow raster"] = time_op(lambda t, tp: s6b(t, tp)[0], transforms, tri_pos, name="6b shadow raster")
+    smaps = jax.jit(s6b)(transforms, tri_pos)
+
+    def s6c(smap0, hitp):
+        outs = []
+        for k, (li, (ox, oy), size) in enumerate(plan):
+            sx, sy, ref = coords_out[k]
+            occ, _ov = shadow_ops.sample_shadow_map(smap0, sx, sy, hitp)
+            outs.append(shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref))
         return jnp.stack(outs)
 
-    ledger["6 shadow resolve"] = time_op(s6, gbuf_p.data, transforms, tri_pos, name="6 shadow resolve")
-    shadow_values_p = jax.jit(s6)(gbuf_p.data, transforms, tri_pos)
+    ledger["6c shadow sample"] = time_op(s6c, smaps[0], hitp, name="6c shadow sample")
+    shadow_values_p = jax.jit(s6c)(smaps[0], hitp)
     shadow_values = shadow_values_p[:, :height, :width]
     L = dir_lights.mask.shape[0]
     shadow_values = jnp.concatenate([
