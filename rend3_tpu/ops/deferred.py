@@ -155,22 +155,30 @@ def attribute_planes(
     vloc = tri_vlocal[o]                       # (V, 3)
     bs = bases[obj]                            # (V, n_attrs)
 
+    # All the tiny batched contractions below are written as broadcast
+    # multiply-reduce, NOT einsum: a batched (3,3)@(3,C) einsum lowers to a
+    # catastrophically padded MXU op that XLA then recomputes per consumer
+    # fusion (~1-2 ms each at 64k survivors; this function has ~30 of them).
     def gattr(arena, ai, default):
         base = bs[:, ai]
         has = base >= 0
         ids = jnp.clip(vloc + base[:, None], 0, arena.shape[0] - 1)
         vals = arena[ids]                      # (V, 3src, C)
         vals = jnp.where(has[:, None, None], vals, jnp.asarray(default, jnp.float32))
-        return jnp.einsum("vjk,vkc->vjc", b, vals)  # per-CLIPPED-corner values
+        # per-CLIPPED-corner values: sum_k b[v,j,k] * vals[v,k,c]
+        return (b[:, :, :, None] * vals[:, None, :, :]).sum(axis=2)
+
+    def mv3_apply(x):  # sum_b mv3[v,a,b] * x[v,j,b] -> (V, j, a)
+        return (mv3[:, None, :, :] * x[:, :, None, :]).sum(axis=-1)
 
     mv = model_view[obj]
     mv3 = mv[:, :3, :3]
     pos_c = gattr(geo.position, 0, jnp.zeros(3))              # (V, 3, 3)
-    vp_c = jnp.einsum("vab,vjb->vja", mv3, pos_c) + mv[:, None, :3, 3]
+    vp_c = mv3_apply(pos_c) + mv[:, None, :3, 3]
 
     inv_scale_sq = 1.0 / jnp.maximum((mv3 * mv3).sum(axis=1), 1e-30)  # (V, 3)
-    nrm_c = jnp.einsum("vab,vjb->vja", mv3, gattr(geo.normal, 1, jnp.zeros(3)) * inv_scale_sq[:, None, :])
-    tan_c = jnp.einsum("vab,vjb->vja", mv3, gattr(geo.tangent, 2, jnp.zeros(3)) * inv_scale_sq[:, None, :])
+    nrm_c = mv3_apply(gattr(geo.normal, 1, jnp.zeros(3)) * inv_scale_sq[:, None, :])
+    tan_c = mv3_apply(gattr(geo.tangent, 2, jnp.zeros(3)) * inv_scale_sq[:, None, :])
 
     def _norm(v):
         n = jnp.sqrt((v * v).sum(-1, keepdims=True))
@@ -185,9 +193,9 @@ def attribute_planes(
     def num_planes(vals_c):
         """vals_c: (V, 3, C) -> (V, C, 3) plane coefs of sum_j (A_j/w_j) lam_j."""
         aw = vals_c * inv_w[:, :, None]        # (V, 3, C)
-        pa = jnp.einsum("vjc,vj->vc", aw, oa)
-        pb = jnp.einsum("vjc,vj->vc", aw, ob)
-        pc = jnp.einsum("vjc,vj->vc", aw, oc)
+        pa = (aw * oa[:, :, None]).sum(axis=1)
+        pb = (aw * ob[:, :, None]).sum(axis=1)
+        pc = (aw * oc[:, :, None]).sum(axis=1)
         return jnp.stack([pa, pb, pc], axis=-1)  # (V, C, 3)
 
     den = num_planes(jnp.ones_like(inv_w)[..., None])[:, 0]   # (V, 3)
@@ -204,6 +212,23 @@ def attribute_planes(
     return planes
 
 
+BAND_H = 8  # fine-raster band height: bands partition each tile's pixel rows
+N_BANDS = DTILE_H // BAND_H
+
+
+def _band_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, k_total=None):
+    """Refine tile lists into tightly-packed per-band lists."""
+    from .geometry import pack_bands
+
+    K = binned.ids.shape[1]
+    if k_total is None:
+        # A triangle is duplicated only into the (usually 1-2) bands its
+        # bbox overlaps; 1.5x the tile list plus slack covers typical scenes
+        # and overflow feeds the adaptive tile caps.
+        k_total = -(-(K + K // 2) // GROUP) * GROUP
+    return pack_bands(tris, binned, N_BANDS, BAND_H, n_cols, k_total)
+
+
 def raster_depth(
     tris: TriSetup,
     binned: BinnedTris,
@@ -211,8 +236,9 @@ def raster_depth(
     height: int,
     *,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Depth-only grouped raster (pass 1 of raster_resolve): (H, W) f32.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-only grouped raster over (8, 128)-pixel bands: ((H, W) f32,
+    band-overflow counter).
 
     Used for the Hi-Z predicted-depth prepass (reference: two-phase culling,
     base.rs:155-172) and fast shadow-map rendering."""
@@ -222,52 +248,53 @@ def raster_depth(
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    K = binned.ids.shape[1]
-    K = max(GROUP, -(-K // GROUP) * GROUP)
-    if K != binned.ids.shape[1]:
-        binned = binned._replace(
-            ids=jnp.pad(binned.ids, ((0, 0), (0, K - binned.ids.shape[1])), constant_values=-1)
-        )
-    bset = tris.setup[jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)]
+    banded = _band_lists(tris, binned, n_cols)
+    Kt = banded.ids.shape[1]
+    bset = tris.setup[jnp.clip(banded.ids, 0, tris.setup.shape[0] - 1)]
 
-    npix_flat = DTILE_H * DTILE_W
+    npix_b = BAND_H * DTILE_W
 
     def kernel(counts_ref, bset_ref, depth_ref):
         i = pl.program_id(0)
-        cnt = counts_ref[i]
         row = i // n_cols
         col = i - row * n_cols
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_flat), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_b), 1)
         pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
-        pyf = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
+        py0 = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
 
-        def grp(gk, depth):
-            base = gk * GROUP
-            blk = bset_ref[0, pl.ds(base, GROUP), :]
+        start = 0
+        for b in range(N_BANDS):
+            cnt = counts_ref[i * N_BANDS + b]
+            pyf = py0 + float(b * BAND_H)
 
-            def cf(lane_idx):
-                return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
+            def grp(gk, depth, b=b, cnt=cnt, pyf=pyf, start=start):
+                base = gk * GROUP
+                blk = bset_ref[0, pl.ds(start + base, GROUP), :]
 
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
-            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
-            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
-            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
-            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
-            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
-            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
-            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-            return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0, keepdims=True))
+                def cf(lane_idx):
+                    return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
 
-        depth = jax.lax.fori_loop(
-            0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((1, npix_flat), jnp.float32)
-        )
-        depth_ref[0] = depth.reshape(DTILE_H, DTILE_W)
+                valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
+                e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
+                e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+                e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
+                c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+                c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+                c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+                z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
+                cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0, keepdims=True))
+
+            depth = jax.lax.fori_loop(
+                0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((1, npix_b), jnp.float32)
+            )
+            depth_ref[0, pl.ds(b * BAND_H, BAND_H), :] = depth.reshape(BAND_H, DTILE_W)
+            start = start + cnt
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, K, SETUP_W), lambda i, c: (i, 0, 0))],
+        in_specs=[pl.BlockSpec((1, Kt, SETUP_W), lambda i, c: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0)),
     )
     tiles = pl.pallas_call(
@@ -275,8 +302,9 @@ def raster_depth(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(binned.counts, bset)
-    return tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
+    )(banded.counts.reshape(-1), bset)
+    depth = tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
+    return depth, banded.overflow
 
 
 def raster_resolve(
@@ -287,15 +315,17 @@ def raster_resolve(
     height: int,
     *,
     interpret: bool = False,
-    _skip_resolve: bool = False,  # debug: pass-1 only
-) -> GBuffer:
-    """The fused raster + resolve Pallas kernel over (32, 128) tiles.
+) -> Tuple[GBuffer, jnp.ndarray]:
+    """The fused raster + resolve Pallas kernel over (32, 128) tiles split
+    into exact (8, 128) bands.
 
-    Pass 1 per tile: grouped (8 triangles at a time) vectorized edge/depth
-    tests -> winner index per pixel. Pass 2: for groups containing winners,
-    select the winner's 64 plane coefficients per pixel with an (8 x 64)^T @
-    (8 x 4096) one-hot matmul on the MXU, then evaluate all attribute planes
-    once per pixel. Output: (GB_CH, H, W) numerator-space G-buffer.
+    Per band: pass 1 does grouped (8 triangles at a time) vectorized
+    edge/depth tests -> winner index per pixel; pass 2 selects, for groups
+    containing winners, the winner's 64 plane coefficients per pixel with an
+    (8 x 64)^T @ (8 x 1024) one-hot matmul on the MXU, then evaluates all
+    attribute planes once per pixel. Banding keeps the per-step work and DMA
+    proportional to the triangles that can actually touch the band's pixel
+    rows. Output: ((GB_CH, H, W) numerator-space G-buffer, band overflow).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -303,133 +333,132 @@ def raster_resolve(
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    K = binned.ids.shape[1]
-    assert K % GROUP == 0
+    banded = _band_lists(tris, binned, n_cols)
+    Kt = banded.ids.shape[1]
 
-    gi = jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)
-    bset = tris.setup[gi]      # (nT, K, SETUP_W)
-    bplanes = planes[gi]       # (nT, K, PLANES_W)
+    gi = jnp.clip(banded.ids, 0, tris.setup.shape[0] - 1)
+    bset = tris.setup[gi]      # (nT, Kt, SETUP_W)
+    bplanes = planes[gi]       # (nT, Kt, PLANES_W)
 
-    npix_flat = DTILE_H * DTILE_W
+    npix_b = BAND_H * DTILE_W
 
     def kernel(counts_ref, bset_ref, bpl_ref, out_ref, coef_ref):
         i = pl.program_id(0)
-        cnt = counts_ref[i]
         row = i // n_cols
         col = i - row * n_cols
         ybase = (row * DTILE_H).astype(jnp.float32)
         xbase = (col * DTILE_W).astype(jnp.float32)
         # Flat pixel layout: tris along sublanes, pixels along lanes — all
-        # per-triangle coefficient broadcasts are native sublane broadcasts
-        # (the (GROUP,1,1)-over-(32,128) form costs a ~300-cycle relayout per
-        # extract and dominated the kernel).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_flat), 1)
+        # per-triangle coefficient broadcasts are native sublane broadcasts.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_b), 1)
         pxf = (lane % DTILE_W).astype(jnp.float32) + xbase + 0.5
-        pyf = (lane // DTILE_W).astype(jnp.float32) + ybase + 0.5
+        py0 = (lane // DTILE_W).astype(jnp.float32) + ybase + 0.5
 
-        ngroups = pl.cdiv(cnt, GROUP)
+        start = 0
+        for b in range(N_BANDS):
+            cnt = counts_ref[i * N_BANDS + b]
+            pyf = py0 + float(b * BAND_H)
+            ngroups = pl.cdiv(cnt, GROUP)
 
-        # ---- pass 1: visibility ----
-        def grp_body(gk, carry):
-            depth, win = carry                               # (1, npix)
-            base = gk * GROUP
-            blk = bset_ref[0, pl.ds(base, GROUP), :]         # (GROUP, SETUP_W)
+            # ---- pass 1: visibility ----
+            def grp_body(gk, carry, b=b, cnt=cnt, pyf=pyf, start=start):
+                depth, win = carry                               # (1, npix_b)
+                base = gk * GROUP
+                blk = bset_ref[0, pl.ds(start + base, GROUP), :]  # (GROUP, SETUP_W)
 
-            def cf(lane_idx):
-                return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
+                def cf(lane_idx):
+                    return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
 
-            valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
-            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)  # (GROUP, npix)
-            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
-            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
-            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
-            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
-            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
-            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-            zm = jnp.where(cov, z, -1.0)                     # (GROUP, npix)
+                valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
+                e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)  # (GROUP, npix_b)
+                e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+                e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
+                c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+                c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+                c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+                z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
+                cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                zm = jnp.where(cov, z, -1.0)                     # (GROUP, npix_b)
 
-            # last-wins argmax within the group
-            best_z = zm.max(axis=0, keepdims=True)           # (1, npix)
-            gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
-            best_local = jnp.where(zm == best_z, gidx, -1).max(axis=0, keepdims=True)
-            upd = (best_z >= depth) & (best_z > -1.0)
-            return (
-                jnp.where(upd, best_z, depth),
-                jnp.where(upd, base + best_local, win),
-            )
+                # last-wins argmax within the group
+                best_z = zm.max(axis=0, keepdims=True)           # (1, npix_b)
+                gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
+                best_local = jnp.where(zm == best_z, gidx, -1).max(axis=0, keepdims=True)
+                upd = (best_z >= depth) & (best_z > -1.0)
+                return (
+                    jnp.where(upd, best_z, depth),
+                    jnp.where(upd, base + best_local, win),
+                )
 
-        d0 = jnp.zeros((1, npix_flat), jnp.float32)
-        w0 = jnp.full((1, npix_flat), -1, jnp.int32)
-        depth, win = jax.lax.fori_loop(0, ngroups, grp_body, (d0, w0))
-        depth = depth.reshape(DTILE_H, DTILE_W)
-        win = win.reshape(DTILE_H, DTILE_W)
+            d0 = jnp.zeros((1, npix_b), jnp.float32)
+            w0 = jnp.full((1, npix_b), -1, jnp.int32)
+            depth, win = jax.lax.fori_loop(0, ngroups, grp_body, (d0, w0))
 
-        # ---- pass 2: accumulate the winner's plane row per pixel ----
-        # Accumulates into a VMEM scratch with predicated (pl.when) writes: a
-        # (PLANES_W, npix) fori-loop carry routed through lax.cond costs a
-        # full-buffer copy per group and dominated the kernel.
-        npix = DTILE_H * DTILE_W
-        win_flat = win.reshape(1, npix)
-        coef_ref[...] = jnp.zeros((PLANES_W, npix), jnp.float32)
+            # ---- pass 2: accumulate the winner's plane row per pixel ----
+            # Accumulates into a VMEM scratch with predicated (pl.when)
+            # writes: a (PLANES_W, npix) fori-loop carry routed through
+            # lax.cond costs a full-buffer copy per group.
+            coef_ref[...] = jnp.zeros((PLANES_W, npix_b), jnp.float32)
 
-        def grp2_body(gk, carry):
-            base = gk * GROUP
-            in_group = (win >= base) & (win < base + GROUP)
+            def grp2_body(gk, carry, b=b, win=win, start=start):
+                base = gk * GROUP
+                in_group = (win >= base) & (win < base + GROUP)
 
-            @pl.when(jnp.any(in_group))
-            def _():
-                ids = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
-                sel = (win_flat == ids).astype(jnp.float32)   # (GROUP, npix)
-                blkp = bpl_ref[0, pl.ds(base, GROUP), :]       # (GROUP, PLANES_W)
-                contrib = jax.lax.dot_general(
-                    blkp, sel,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                              # (PLANES_W, npix)
-                coef_ref[...] = coef_ref[...] + contrib
+                @pl.when(jnp.any(in_group))
+                def _():
+                    ids = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
+                    sel = (win == ids).astype(jnp.float32)         # (GROUP, npix_b)
+                    blkp = bpl_ref[0, pl.ds(start + base, GROUP), :]  # (GROUP, PLANES_W)
+                    contrib = jax.lax.dot_general(
+                        blkp, sel,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                              # (PLANES_W, npix_b)
+                    coef_ref[...] = coef_ref[...] + contrib
 
-            return carry
+                return carry
 
-        if not _skip_resolve:
             jax.lax.fori_loop(0, ngroups, grp2_body, 0)
-        coef = coef_ref[...]                                   # (PLANES_W, npix)
+            coef = coef_ref[...]                                   # (PLANES_W, npix_b)
 
-        # ---- final: evaluate all planes once per pixel ----
+            # ---- final: evaluate all planes once per pixel ----
 
-        def plane(off):
-            return coef[off, :] * pxf[0] + coef[off + 1, :] * pyf[0] + coef[off + 2, :]
+            def plane(off):
+                return coef[off : off + 1, :] * pxf + coef[off + 1 : off + 2, :] * pyf + coef[off + 2 : off + 3, :]
 
-        # Channel order must match G_* indices.
-        chans = [depth.reshape(npix), plane(P_DEN)]
-        for k in range(3):
-            chans.append(plane(P_VP + 3 * k))
-        for k in range(3):
-            chans.append(plane(P_NRM + 3 * k))
-        for k in range(3):
-            chans.append(plane(P_TAN + 3 * k))
-        for k in range(2):
-            chans.append(plane(P_UV0 + 3 * k))
-        for k in range(2):
-            chans.append(plane(P_UV1 + 3 * k))
-        for k in range(4):
-            chans.append(plane(P_COL + 3 * k))
-        chans.append(coef[P_MAT, :])
-        chans.append((win >= 0).astype(jnp.float32).reshape(npix))
-        while len(chans) < GB_CH:
-            chans.append(jnp.zeros(npix, jnp.float32))
-        out = jnp.stack(chans, axis=0)
-        out_ref[0] = out.reshape(GB_CH, DTILE_H, DTILE_W)
+            # Channel order must match G_* indices.
+            chans = [depth, plane(P_DEN)]
+            for k in range(3):
+                chans.append(plane(P_VP + 3 * k))
+            for k in range(3):
+                chans.append(plane(P_NRM + 3 * k))
+            for k in range(3):
+                chans.append(plane(P_TAN + 3 * k))
+            for k in range(2):
+                chans.append(plane(P_UV0 + 3 * k))
+            for k in range(2):
+                chans.append(plane(P_UV1 + 3 * k))
+            for k in range(4):
+                chans.append(plane(P_COL + 3 * k))
+            chans.append(coef[P_MAT : P_MAT + 1, :])
+            chans.append((win >= 0).astype(jnp.float32))
+            while len(chans) < GB_CH:
+                chans.append(jnp.zeros((1, npix_b), jnp.float32))
+            out = jnp.concatenate(chans, axis=0)                   # (GB_CH, npix_b)
+            out_ref[0, :, pl.ds(b * BAND_H, BAND_H), :] = out.reshape(
+                GB_CH, BAND_H, DTILE_W
+            )
+            start = start + cnt
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, K, SETUP_W), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, K, PLANES_W), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, Kt, SETUP_W), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, Kt, PLANES_W), lambda i, c: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, GB_CH, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((PLANES_W, DTILE_H * DTILE_W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((PLANES_W, BAND_H * DTILE_W), jnp.float32)],
     )
 
     tiles = pl.pallas_call(
@@ -437,8 +466,8 @@ def raster_resolve(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(binned.counts, bset, bplanes)
+    )(banded.counts.reshape(-1), bset, bplanes)
 
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)
-    return GBuffer(data=data)
+    return GBuffer(data=data), banded.overflow

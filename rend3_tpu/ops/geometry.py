@@ -105,6 +105,7 @@ def cull_and_setup(
     subpixel: bool = False,
     hiz: Optional[jnp.ndarray] = None,  # optional (levels...) pyramid, see hi_z.py
     hiz_mips=None,
+    hiz_interpret: bool = False,
 ) -> TriSetup:
     """Cull, compute edge/depth planes, compact. cap defaults to T."""
     from .raster import CullMode, _top_left
@@ -144,7 +145,10 @@ def cull_and_setup(
     if hiz is not None:
         from . import hi_z as hiz_ops
 
-        occluded = hiz_ops.occlusion_test(hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height)
+        occluded = hiz_ops.occlusion_test(
+            hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height,
+            interpret=hiz_interpret,
+        )
         keep = keep & ~occluded
 
     # Orient: ensure positive area for uniform edge tests. Column swaps via
@@ -280,3 +284,55 @@ def bin_triangles(
 
     overflow = jnp.maximum(counts - tile_cap, 0).sum()
     return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)
+
+
+class PackedBands(NamedTuple):
+    ids: jnp.ndarray       # (n_tiles, Ktot) i32 indices into the setup table
+    counts: jnp.ndarray    # (n_tiles, n_bands) i32 per-band entry counts
+    overflow: jnp.ndarray  # () i32
+
+
+def pack_bands(
+    tris: TriSetup,
+    binned: BinnedTris,
+    n_bands: int,
+    band_h: int,
+    n_cols: int,
+    k_total: int,
+) -> PackedBands:
+    """Split each tile's triangle list into per-band (band_h pixel-row)
+    sub-lists packed TIGHTLY into one (k_total)-slot row per tile: band b's
+    entries start at sum(counts[:b]). Bands partition a tile's pixels, so
+    per-pixel candidate order is preserved; the fine raster skips
+    (triangle, band) pairs that cannot touch, and — unlike per-band capped
+    lists — the packed layout keeps kernel DMA proportional to the real
+    per-tile work (a triangle is duplicated only into bands it overlaps).
+    """
+    nT, K = binned.ids.shape
+    live = binned.ids >= 0
+    g = jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)
+    ymin = jnp.where(live, tris.bbox[g, 1], 1e9)    # (nT, K)
+    ymax = jnp.where(live, tris.bbox[g, 3], -1e9)
+
+    row = jnp.arange(nT) // n_cols
+    y0 = (row * (n_bands * band_h)).astype(jnp.float32)  # tile top in pixels
+    b = jnp.arange(n_bands, dtype=jnp.float32)
+    band_top = y0[:, None] + b[None, :] * band_h          # (nT, n_bands)
+    overlap = (
+        (ymax[:, None, :] > band_top[:, :, None])
+        & (ymin[:, None, :] < (band_top + band_h)[:, :, None])
+    )  # (nT, n_bands, K)
+
+    ids2, total = _compact_rows(overlap.reshape(nT, n_bands * K), k_total)
+    k = jnp.where(ids2 >= 0, ids2 % K, 0)
+    ids = jnp.where(ids2 >= 0, jnp.take_along_axis(binned.ids, k, axis=1), -1)
+    ids = jnp.pad(ids, ((0, 0), (0, 8)), constant_values=-1)  # group over-read slack
+
+    counts = overlap.sum(axis=2).astype(jnp.int32)            # (nT, n_bands)
+    # Clamp so every band's [start, start+count) stays inside k_total.
+    ends = jnp.minimum(jnp.cumsum(counts, axis=1), k_total)
+    starts = jnp.concatenate([jnp.zeros((nT, 1), jnp.int32), ends[:, :-1]], axis=1)
+    counts = (ends - starts).astype(jnp.int32)
+
+    overflow = jnp.maximum(total - k_total, 0).sum() + binned.overflow
+    return PackedBands(ids=ids, counts=counts, overflow=overflow)

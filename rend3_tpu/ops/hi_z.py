@@ -51,29 +51,55 @@ def occlusion_test(
     zmax: jnp.ndarray,
     width: int,
     height: int,
+    *,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Vectorized over triangles: True where definitely occluded.
 
     Mip selection by the bbox's longest screen edge (cull.wgsl:243-250);
-    2x2 min-filter footprint."""
+    2x2 min-filter footprint. The per-triangle mip fetches go through the
+    MXU gather sampler over a single edge-padded horizontally-packed mip
+    atlas (per-triangle scalar gathers cost milliseconds at 100k+
+    triangles); any sampler pair overflow degrades to "not occluded", so
+    the test is always conservative."""
+    from . import mxu_gather as mg
+
     n_levels = len(pyramid)
     extent = jnp.maximum(xmax - xmin, ymax - ymin)
     level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32), 0, n_levels - 1)
 
-    occluded = jnp.zeros(xmin.shape, bool)
-    hit_any = jnp.zeros(xmin.shape, bool)
+    # Pack edge-padded mips side by side (padding makes the +1 taps clamp).
+    padded = [jnp.pad(m, ((0, 1), (0, 1)), mode="edge") for m in pyramid]
+    AH = max(p.shape[0] for p in padded)
+    offs = []
+    off = 0
+    for p in padded:
+        offs.append(off)
+        off += p.shape[1]
+    atlas = jnp.zeros((AH, off), jnp.float32)
+    for p, ox in zip(padded, offs):
+        atlas = jax.lax.dynamic_update_slice(atlas, p, (0, ox))
+
+    bx = jnp.zeros(xmin.shape, jnp.int32)
+    by = jnp.zeros(xmin.shape, jnp.int32)
     for lv, mip in enumerate(pyramid):
         mh, mw = mip.shape
-        scale = 1 << lv
-        x0 = jnp.clip((xmin / scale).astype(jnp.int32), 0, mw - 1)
+        scale = float(1 << lv)
+        x0 = jnp.clip((xmin / scale).astype(jnp.int32), 0, mw - 1) + offs[lv]
         y0 = jnp.clip((ymin / scale).astype(jnp.int32), 0, mh - 1)
-        x1 = jnp.clip(x0 + 1, 0, mw - 1)
-        y1 = jnp.clip(y0 + 1, 0, mh - 1)
-        m = jnp.minimum(
-            jnp.minimum(mip[y0, x0], mip[y1, x0]),
-            jnp.minimum(mip[y0, x1], mip[y1, x1]),
-        )
         sel = level == lv
-        occluded = jnp.where(sel, zmax < m, occluded)
-        hit_any = hit_any | sel
-    return occluded & hit_any
+        bx = jnp.where(sel, x0, bx)
+        by = jnp.where(sel, y0, by)
+
+    # Queries as a fake image for the tile-based sampler.
+    V = xmin.shape[0]
+    Vp = -(-V // 4096) * 4096
+    def img(a, fill):
+        return jnp.pad(a, (0, Vp - V), constant_values=fill).reshape(Vp // 128, 128)
+
+    vals, _ovf = mg.sample_grid(
+        atlas, img(bx, 0), img(by, 0), img(jnp.ones(V, bool), False),
+        ((0, 0), (1, 0), (0, 1), (1, 1)), pair_cap=64, interpret=interpret,
+    )
+    m = jnp.minimum(jnp.minimum(vals[0], vals[1]), jnp.minimum(vals[2], vals[3]))
+    return zmax < m.reshape(-1)[:V]

@@ -76,6 +76,10 @@ def build_grid_tiles(img: jnp.ndarray, hlo: int, hhi: int) -> GatherGrid:
     return GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=hlo, R=R)
 
 
+N_BANDS = 4
+BAND_H = STILE_H // N_BANDS
+
+
 def pair_lists(
     bx: jnp.ndarray,     # (H, W) int32 base col per pixel
     by: jnp.ndarray,     # (H, W) int32 base row per pixel
@@ -83,12 +87,15 @@ def pair_lists(
     Gy: int,
     Gx: int,
     cap: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-screen-tile source-cell lists: ids (nT, cap) into the flat cell
-    grid (-1 padded), counts (nT,), overflow ().
+    grid (-1 padded), counts (nT,), band bits (nT, cap), overflow ().
 
     A pixel addresses the cell containing its base texel; the offset
-    footprint stays inside that cell's halo by construction.
+    footprint stays inside that cell's halo by construction. Band bit b is
+    set when any pixel of the tile's b-th 8-row band addresses the cell, so
+    the kernel can skip (pair, band) combinations — tiles spanning depth
+    discontinuities touch many cells, each from only a sliver of pixels.
     """
     from .geometry import _compact_rows
 
@@ -108,12 +115,23 @@ def pair_lists(
     cy = jnp.floor_divide(tile_flat(by), LT)
     ok = tile_flat(valid) & (cx >= 0) & (cx < Gx) & (cy >= 0) & (cy < Gy)
 
-    ohx = ((cx[..., None] == jnp.arange(Gx)) & ok[..., None]).astype(jnp.bfloat16)
-    ohy = ((cy[..., None] == jnp.arange(Gy)) & ok[..., None]).astype(jnp.bfloat16)
-    occ = jnp.einsum("tpy,tpx->tyx", ohy, ohx, preferred_element_type=jnp.float32)
-    ids, counts = _compact_rows((occ > 0.0).reshape(nT, Gy * Gx), cap)
+    npb = BAND_H * STILE_W
+    cxb = cx.reshape(nT, N_BANDS, npb)
+    cyb = cy.reshape(nT, N_BANDS, npb)
+    okb = ok.reshape(nT, N_BANDS, npb)
+    ohx = ((cxb[..., None] == jnp.arange(Gx)) & okb[..., None]).astype(jnp.bfloat16)
+    ohy = ((cyb[..., None] == jnp.arange(Gy)) & okb[..., None]).astype(jnp.bfloat16)
+    occ_b = jnp.einsum("tbpy,tbpx->tbyx", ohy, ohx, preferred_element_type=jnp.float32)
+    occ_bits = (
+        ((occ_b > 0.0).astype(jnp.int32) << jnp.arange(N_BANDS)[None, :, None, None])
+        .sum(axis=1)
+        .reshape(nT, Gy * Gx)
+    )
+    ids, counts = _compact_rows(occ_bits > 0, cap)
+    bits = jnp.take_along_axis(occ_bits, jnp.clip(ids, 0, Gy * Gx - 1), axis=1)
+    bits = jnp.where(ids >= 0, bits, 0)
     overflow = jnp.maximum(counts - cap, 0).sum()
-    return ids, jnp.minimum(counts, cap), overflow
+    return ids, jnp.minimum(counts, cap), bits, overflow
 
 
 def sample_grid(
@@ -151,8 +169,9 @@ def sample_grid(
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
-    ids, counts, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
+    ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
+    bits = bits.astype(jnp.int32).reshape(-1)
 
     # Pixel coords, pixels-on-LANES layout (nT, 2, npx): one-hot rows live on
     # sublanes so every block is padding-free and no in-kernel relayouts occur.
@@ -168,7 +187,9 @@ def sample_grid(
     byt = jnp.where(tile_flat(valid), tile_flat(by), bad)
     coords = jnp.stack([bxt, byt], axis=1)                   # (nT, 2, npx)
 
-    def kernel(counts_ref, pids_ref, tile_ref, coords_ref, out_ref):
+    npb = BAND_H * STILE_W
+
+    def kernel(counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, out_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
@@ -181,54 +202,59 @@ def sample_grid(
         @pl.when(j < counts_ref[i])
         def _pair():
             pid = pids_ref[i * cap + j]
+            pbits = bits_ref[i * cap + j]
             cy = pid // Gx
             cx = pid - cy * Gx
-            bxv = coords_ref[0, 0:1, :]                      # (1, npx)
-            byv = coords_ref[0, 1:2, :]
-            rel_x = bxv - cx * LT + hlo                      # sublane of base col
-            rel_y = byv - cy * LT                            # cell-local row
-            own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= hlo) & (rel_x < hlo + LT)
-            own &= (bxv >= 0) & (bxv < Ws_src) & (byv >= 0) & (byv < Hs_src)
-            ohy = (jnp.where(own, rel_y, -1) == sub64).astype(jnp.float32)   # (64, npx)
-            ohx = (jnp.where(own, rel_x, -1) == sub128).astype(jnp.float32)  # (128, npx)
+            for b in range(N_BANDS):
+                @pl.when(((pbits >> b) & 1) != 0)
+                def _band(b=b):
+                    sl = pl.ds(b * npb, npb)
+                    bxv = coords_ref[0, 0:1, sl]                 # (1, npb)
+                    byv = coords_ref[0, 1:2, sl]
+                    rel_x = bxv - cx * LT + hlo                  # sublane of base col
+                    rel_y = byv - cy * LT                        # cell-local row
+                    own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= hlo) & (rel_x < hlo + LT)
+                    own &= (bxv >= 0) & (bxv < Ws_src) & (byv >= 0) & (byv < Hs_src)
+                    ohy = (jnp.where(own, rel_y, -1) == sub64).astype(jnp.float32)   # (64, npb)
+                    ohx = (jnp.where(own, rel_x, -1) == sub128).astype(jnp.float32)  # (128, npb)
 
-            rows = []
-            for dy in dys:
-                trows = tile_ref[0, pl.ds(hlo + dy, LT), :]  # (64, 128)
-                r2 = jax.lax.dot_general(
-                    trows, ohy,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                            # (128 cols, npx)
-                for dx in dxs:
-                    if (dx, dy) not in offsets:
-                        continue
-                    shifted = pltpu.roll(r2, (-dx) % STILE_W, 0) if dx else r2
-                    rows.append((ohx * shifted).sum(axis=0, keepdims=True))
-            # rows ordered (dy-major, dx-minor); map back to the caller's
-            # offset order.
-            order = sorted(range(n_off), key=lambda k: (offsets[k][1], offsets[k][0]))
-            cols = [None] * n_off
-            for slot, k in enumerate(order):
-                cols[k] = rows[slot]
-            cols += [jnp.zeros((1, npx), jnp.float32)] * (OL - n_off)
-            out_ref[0] = out_ref[0] + jnp.concatenate(cols, axis=0)
+                    rows = []
+                    for dy in dys:
+                        trows = tile_ref[0, pl.ds(hlo + dy, LT), :]  # (64, 128)
+                        r2 = jax.lax.dot_general(
+                            trows, ohy,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                            # (128 cols, npb)
+                        for dx in dxs:
+                            if (dx, dy) not in offsets:
+                                continue
+                            shifted = pltpu.roll(r2, (-dx) % STILE_W, 0) if dx else r2
+                            rows.append((ohx * shifted).sum(axis=0, keepdims=True))
+                    # rows ordered (dy-major, dx-minor); map back to the
+                    # caller's offset order.
+                    order = sorted(range(n_off), key=lambda k: (offsets[k][1], offsets[k][0]))
+                    cols = [None] * n_off
+                    for slot, k in enumerate(order):
+                        cols[k] = rows[slot]
+                    cols += [jnp.zeros((1, npb), jnp.float32)] * (OL - n_off)
+                    out_ref[0, :, sl] = out_ref[0, :, sl] + jnp.concatenate(cols, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # counts, pids
+        num_scalar_prefetch=3,  # counts, pids, bits
         grid=(nT, cap),
         in_specs=[
-            pl.BlockSpec((1, R, STILE_W), lambda i, j, c, p: (p[i * cap + j], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda i, j, c, p: (i, 0, 0)),
+            pl.BlockSpec((1, R, STILE_W), lambda i, j, c, p, bb: (p[i * cap + j], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda i, j, c, p, bb: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, OL, npx), lambda i, j, c, p: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, OL, npx), lambda i, j, c, p, bb: (i, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nT, OL, npx), jnp.float32),
         interpret=interpret,
-    )(counts, pids, grid.tiles, coords)
+    )(counts, pids, bits, grid.tiles, coords)
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)

@@ -131,8 +131,11 @@ class BaseRenderGraph:
         self._program_cache: Dict[tuple, object] = {}
         self._tri_cache = None  # (opaque np (T,4), blend items)
         # Two-phase Hi-Z occlusion culling (reference: base.rs:155-172):
-        # carried predicted-visible triangle mask across frames.
-        self.occlusion_culling = False
+        # carried predicted-visible triangle mask across frames. ON by
+        # default for single-sample deferred paths; image-neutral (the
+        # prepass renders the predicted set depth-only this frame, so
+        # anything culled against it is genuinely hidden this frame).
+        self.occlusion_culling = True
         self._prev_visible_mask = None
         # Adaptive survivor-table capacities (the reference's pow2-growing
         # culling output buffers, culling/suballoc.rs): the cull compaction
@@ -158,7 +161,7 @@ class BaseRenderGraph:
         skybox_slot: Optional[int] = None,
     ) -> np.ndarray:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
-        for _attempt in range(4):
+        for _attempt in range(8):
             program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
             out = program(*args)
             img, mask, aux = out
@@ -170,10 +173,10 @@ class BaseRenderGraph:
         return np.asarray(jax.device_get(img))
 
     def _grow_caps(self, counts: np.ndarray) -> bool:
-        """Grow survivor capacities from the frame's aux counters; True if a
-        capacity changed (the frame dropped geometry and must re-render).
-        aux layout: [main_count, shadow_count_max, bin_overflow_sum,
-        pair_overflow]."""
+        """Grow survivor/tile capacities from the frame's aux counters; True
+        if a capacity changed (the frame dropped geometry and must
+        re-render). aux layout: [main_count, shadow_count_max,
+        main_bin_overflow, shadow_bin_overflow, pair_overflow]."""
         main_cap, shadow_cap = self._last_caps
         grew = False
         if counts[0] > main_cap:
@@ -182,17 +185,24 @@ class BaseRenderGraph:
         if counts[1] > shadow_cap:
             self._caps["shadow"] = _pad_pow2(int(counts[1]), minimum=4096)
             grew = True
+        if counts[2] > 0 and self._caps["tile_main_mult"] < 64:
+            self._caps["tile_main_mult"] *= 2
+            grew = True
+        if counts[3] > 0 and self._caps["tile_shadow_mult"] < 64:
+            self._caps["tile_shadow_mult"] *= 2
+            grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
             "shadow_survivors": int(counts[1]),
-            "bin_overflow": int(counts[2]),
-            "sample_pair_overflow": int(counts[3]),
+            "bin_overflow": int(counts[2]) + int(counts[3]),
+            "sample_pair_overflow": int(counts[4]),
         }
         if self.last_stats["bin_overflow"]:
             import logging
 
             logging.getLogger(__name__).warning(
-                "tile-bin overflow: %d triangle-tile pairs dropped", counts[2]
+                "tile-bin overflow: %d triangle-tile pairs dropped (caps grown: %s)",
+                self.last_stats["bin_overflow"], grew,
             )
         return grew
 
@@ -331,6 +341,8 @@ class BaseRenderGraph:
         ctable = tcap + 3 * min(1024, tcap)  # post-clip table size (clip_triangles)
         main_cap = self._survivor_cap("main", ctable)
         shadow_cap = self._survivor_cap("shadow", ctable)
+        tmul_main = self._caps.setdefault("tile_main_mult", 1)
+        tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
         self._last_caps = (main_cap, shadow_cap)
         key = (
             target.width,
@@ -345,6 +357,8 @@ class BaseRenderGraph:
             occ,
             main_cap,
             shadow_cap,
+            tmul_main,
+            tmul_shadow,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -395,7 +409,7 @@ class BaseRenderGraph:
 
     def _build_program(self, key):
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
-         backend, occlusion, main_cap, shadow_cap) = key
+         backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -433,6 +447,7 @@ class BaseRenderGraph:
             main_count = jnp.int32(0)
             shadow_counts = []
             bin_overflows = []
+            shadow_bin_overflows = []
             pair_overflows = []
 
             # Pre-gather triangle corner positions once (post-skinning) and
@@ -471,6 +486,12 @@ class BaseRenderGraph:
             valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
             clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp, tri_pos=tri_pos)
             clipped = transform_ops.clip_triangles(clip, valid)
+            # Materialize the clipped table once: it feeds the cull, the
+            # planes, and the occlusion prepass, and XLA otherwise duplicates
+            # the whole gather+clip chain into each consumer fusion.
+            clipped = jax.lax.optimization_barrier(clipped)
+            if _DEBUG_STOP_AFTER == "clip":
+                return clipped.clip, clipped.valid
 
             # ---- background: clear color, then skybox where provided ----
             nsamp = len(sample_offsets)
@@ -507,17 +528,22 @@ class BaseRenderGraph:
                     n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                     pbinned = geom_ops.bin_triangles(
                         ptris, wp, hp,
-                        tile_cap=_tile_cap_for(main_cap, n_tiles_d),
+                        tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                     )
-                    pdepth = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
+                    # Band overflow here only weakens culling (farther Hi-Z
+                    # depth), never correctness — no counter needed.
+                    pdepth, _povf = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
                     hiz_pyramid = hiz_ops.build_pyramid(pdepth)
 
                 tris = geom_ops.cull_and_setup(
                     clipped.clip, clipped.valid, width, height,
                     cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
-                    hiz=hiz_pyramid, cap=main_cap,
+                    hiz=hiz_pyramid, hiz_interpret=interp, cap=main_cap,
                 )
+                tris = jax.lax.optimization_barrier(tris)
+                if _DEBUG_STOP_AFTER == "cull":
+                    return tris.setup, tris.bbox, tris.count
                 if occlusion:
                     # Next frame's predicted set = this frame's cull survivors
                     # (the per-workgroup culling-result store of cull.wgsl).
@@ -532,19 +558,22 @@ class BaseRenderGraph:
                     tris, clipped.clip, clipped.bary, clipped.orig,
                     tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
                 )
+                planes = jax.lax.optimization_barrier(planes)
+                if _DEBUG_STOP_AFTER == "planes":
+                    return planes, tris.count
                 n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
                 binned = geom_ops.bin_triangles(
                     tris, wp, hp,
-                    tile_cap=_tile_cap_for(main_cap, n_tiles_d),
+                    tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
                     tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                 )
                 if _DEBUG_STOP_AFTER == "geom":
                     return planes, binned.counts, tris.count
-                gbuf_p = def_ops.raster_resolve(
+                gbuf_p, band_ovf = def_ops.raster_resolve(
                     tris, planes, binned, wp, hp, interpret=interp
                 )
                 main_count = tris.count
-                bin_overflows.append(binned.overflow)
+                bin_overflows.append(band_ovf)
                 if _DEBUG_STOP_AFTER == "gbuf":
                     return gbuf_p.data
 
@@ -561,13 +590,20 @@ class BaseRenderGraph:
                     vp_img = gp[def_ops.G_VP : def_ops.G_VP + 3] * invden[None]  # (3, hp, wp)
                     hitp = gp[def_ops.G_HIT] > 0.0
                     iv = uniforms.inv_view
-                    world = jnp.einsum("ab,bhw->ahw", iv[:3, :3], vp_img) + iv[:3, 3][:, None, None]
+
+                    def mat_img(m, rows, img):  # matrix x image channels, VPU
+                        cols = img.shape[0]
+                        return jnp.stack(
+                            [sum(m[a, b] * img[b] for b in range(cols)) for a in range(rows)]
+                        )
+
+                    world = mat_img(iv[:3, :3], 3, vp_img) + iv[:3, 3][:, None, None]
                     world4 = jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
 
                     svals = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
                         svp = dir_lights.view_proj[k]
-                        ndc = jnp.einsum("ab,bhw->ahw", svp, world4)
+                        ndc = mat_img(svp, 4, world4)
                         ndcw = jnp.where(ndc[3] == 0.0, 1.0, ndc[3])
                         ndc_xyz = ndc[:3] / ndcw[None]
                         sx = (ndc_xyz[0] * 0.5 + 0.5) * size
@@ -594,15 +630,15 @@ class BaseRenderGraph:
                         n_tiles_s = (swp // def_ops.DTILE_W) * (shp // def_ops.DTILE_H)
                         sbinned = geom_ops.bin_triangles(
                             stris, swp, shp,
-                            tile_cap=_tile_cap_for(shadow_cap, n_tiles_s),
+                            tile_cap=min(shadow_cap, _tile_cap_for(shadow_cap, n_tiles_s) * tmul_shadow),
                             tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                         )
-                        smap = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp)
+                        smap, sband_ovf = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp)
                         occ, soverflow = shadow_ops.sample_shadow_map(
                             smap[:size, :size], sx, sy, hitp, interpret=interp
                         )
                         shadow_counts.append(stris.count)
-                        bin_overflows.append(sbinned.overflow)
+                        shadow_bin_overflows.append(sband_ovf)
                         pair_overflows.append(soverflow)
                         pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
 
@@ -690,6 +726,7 @@ class BaseRenderGraph:
                     main_count,
                     functools.reduce(jnp.maximum, shadow_counts, jnp.int32(0)),
                     sum(bin_overflows, jnp.int32(0)).astype(jnp.int32),
+                    sum(shadow_bin_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
                 ]
             )

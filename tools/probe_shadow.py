@@ -70,7 +70,7 @@ def main():
         binned = geom_ops.bin_triangles(tris, wp, hp,
                                         tile_cap=_tile_cap_for(clipped.clip.shape[0], n_tiles_d),
                                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W)
-        gbuf_p = def_ops.raster_resolve(tris, planes, binned, wp, hp, interpret=False)
+        gbuf_p = def_ops.raster_resolve(tris, planes, binned, wp, hp, interpret=False)[0]
         return gbuf_p
 
     gbuf_p = front(transforms)

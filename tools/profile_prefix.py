@@ -45,9 +45,13 @@ def main():
     runner.base_graph.render_frame(eval_output, target, settings)
     print("caps:", runner.base_graph._caps, "stats:", runner.base_graph.last_stats, flush=True)
 
+    stages = ("geom", "gbuf", "shadow", "light", None)
+    if len(sys.argv) > 4:
+        stages = tuple(s if s != "None" else None for s in sys.argv[4].split(","))
+
     ledger = {}
     prev = 0.0
-    for stage in ("geom", "gbuf", "shadow", "light", None):
+    for stage in stages:
         base_mod._DEBUG_STOP_AFTER = stage
         runner.base_graph._program_cache.clear()
         program, args = runner.base_graph.build_frame_callable(eval_output, target, settings)

@@ -117,7 +117,7 @@ def main():
 
     # --- stage 5: raster_resolve ---
     def s5(tris, planes, binned):
-        return def_ops.raster_resolve(tris, planes, binned, wp, hp, interpret=False)
+        return def_ops.raster_resolve(tris, planes, binned, wp, hp, interpret=False)[0]
 
     ledger["5 raster_resolve"] = time_op(s5, tris, planes, binned, name="5 raster_resolve")
     gbuf_p = jax.jit(s5)(tris, planes, binned)
@@ -165,7 +165,7 @@ def main():
             sbinned = geom_ops.bin_triangles(
                 stris, swp, shp, tile_cap=_tile_cap_for(sclipped.clip.shape[0], nts),
                 tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W)
-            maps.append(def_ops.raster_depth(stris, sbinned, swp, shp)[:size, :size])
+            maps.append(def_ops.raster_depth(stris, sbinned, swp, shp)[0][:size, :size])
         return maps
 
     ledger["6b shadow raster"] = time_op(lambda t, tp: s6b(t, tp)[0], transforms, tri_pos, name="6b shadow raster")
