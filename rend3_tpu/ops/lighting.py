@@ -40,8 +40,12 @@ def light_gbuffer(
     background: jnp.ndarray,        # (H, W, 4)
     textures=None,
     shadow_values=None,             # optional (L, H, W) precomputed factors
-) -> jnp.ndarray:
-    """Returns (H, W, 4) linear HDR."""
+    active_tex_slots=None,          # static slot tuple -> use the MXU sampler
+    tex_pair_cap: int = 16,
+    interpret: bool = False,
+):
+    """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow) when the
+    MXU texture sampler is active (active_tex_slots is not None)."""
     CH, H, W = gbuf.data.shape
     N = H * W
     g = gbuf.data.reshape(CH, N)
@@ -66,6 +70,8 @@ def light_gbuffer(
 
     duv = None
     mtex = None
+    tex_samples = None
+    tex_overflow = jnp.int32(0)
     if textures is not None:
         mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
         # Screen-space uv derivatives (quad-derivative equivalent).
@@ -73,12 +79,29 @@ def light_gbuffer(
         dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
         dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
         duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        if active_tex_slots is not None:
+            from . import texture as tex_ops
+            from .shade import PBR_UVT0
+
+            uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
+            coords = jnp.einsum(
+                "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
+            )[:, :2]
+            tex_samples, tex_overflow = tex_ops.sample_textures_grid(
+                textures, mtex, coords, duv, mflags, (H, W),
+                tuple(active_tex_slots),
+                pair_cap=tex_pair_cap, interpret=interpret,
+            )
 
     sv = shadow_values.reshape(shadow_values.shape[0], N) if shadow_values is not None else None
     out_rgb, out_a = _shade_pixels(
         mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
         dir_lights, point_lights, shadow_atlas, uniforms, shadow_values=sv,
+        tex_samples=tex_samples,
     )
     rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
     rgba = jnp.where(hit[:, None], rgba, background.reshape(N, 4))
-    return rgba.reshape(H, W, 4)
+    img = rgba.reshape(H, W, 4)
+    if active_tex_slots is not None:
+        return img, tex_overflow
+    return img

@@ -28,7 +28,13 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["GatherGrid", "build_grid_tiles", "pair_lists", "sample_grid"]
+__all__ = [
+    "GatherGrid",
+    "build_grid_tiles",
+    "pair_lists",
+    "sample_grid",
+    "sample_grid_bilinear",
+]
 
 STILE_H = 32   # screen tile height (pixels)
 STILE_W = 128  # screen tile width (pixels / lanes)
@@ -258,4 +264,161 @@ def sample_grid(
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
+    return out, overflow
+
+
+def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
+    """planes (C, H, W) -> (Gy*Gx, R, C*128): per-cell blocks with the C
+    channel blocks side by side on lanes so one matmul row-selects all
+    channels at once."""
+    C, H, W = planes.shape
+    Gy, Gx = _cdiv(H, LT), _cdiv(W, LT)
+    R = _cdiv(LT + hlo + hhi, 8) * 8
+
+    padded = jnp.pad(
+        planes,
+        ((0, 0), (hlo, Gy * LT + R - H), (hlo, (Gx - 1) * LT + STILE_W - W)),
+    )
+    row_idx = (jnp.arange(Gy)[:, None] * LT + jnp.arange(R)[None, :]).reshape(-1)
+    rows = padded[:, row_idx]                                # (C, Gy*R, Wp)
+    col_idx = (jnp.arange(Gx)[:, None] * LT + jnp.arange(STILE_W)[None, :]).reshape(-1)
+    tiles = rows[:, :, col_idx]                              # (C, Gy*R, Gx*128)
+    tiles = (
+        tiles.reshape(C, Gy, R, Gx, STILE_W)
+        .transpose(1, 3, 2, 0, 4)
+        .reshape(Gy * Gx, R, C * STILE_W)
+    )
+    return GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=hlo, R=R)
+
+
+def sample_grid_bilinear(
+    planes: jnp.ndarray,           # (C, Hs, Ws) f32 source planes
+    bx: jnp.ndarray,               # (H, W) i32 floor texel col (left tap)
+    by: jnp.ndarray,               # (H, W) i32 floor texel row (top tap)
+    fx: jnp.ndarray,               # (H, W) f32 x lerp fraction
+    fy: jnp.ndarray,               # (H, W) f32 y lerp fraction
+    wt: jnp.ndarray,               # (H, W) f32 overall weight (mip lerp etc.)
+    valid: jnp.ndarray,            # (H, W) bool
+    *,
+    pair_cap: int = 16,
+    dot_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted 2x2 bilinear gather on the MXU, all C channels at once.
+
+    Returns (C, H, W) with wt * bilerp(planes[c], by+fy, bx+fx) per pixel
+    (0 where invalid / out of grid / dropped by pair overflow), plus the
+    pair-overflow counter.
+
+    The trick over sample_grid: the lerp weights ride IN the one-hot
+    vectors — ohy has two nonzeros (1-fy @ rel_y, fy @ rel_y+1) so one
+    matmul row-selects AND y-lerps; the column one-hot likewise x-lerps in
+    the VPU reduce. A full 4-tap bilinear costs one (R x C*128)^T x
+    (R x npb) matmul per (screen tile, source cell) pair instead of four
+    gathers (the reference leans on hardware samplers for this:
+    rend3-routine samplers.rs, opaque.wgsl textureSampleGrad).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = planes.shape[0]
+    H, W = bx.shape
+    assert H % STILE_H == 0 and W % STILE_W == 0, (H, W)
+    n_rows, n_cols = H // STILE_H, W // STILE_W
+    nT = n_rows * n_cols
+    npx = STILE_H * STILE_W
+    CL = _cdiv(C, 8) * 8
+
+    Hs_src, Ws_src = planes.shape[1], planes.shape[2]
+    grid = _build_grid_tiles_multi(planes, 0, 1)
+    Gy, Gx, R = grid.Gy, grid.Gx, grid.R
+
+    cap = min(pair_cap, Gy * Gx)
+    ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
+    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
+    bits = bits.astype(jnp.int32).reshape(-1)
+
+    def tile_flat(a):
+        return (
+            a.reshape(n_rows, STILE_H, n_cols, STILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(nT, npx)
+        )
+
+    bad = jnp.int32(-(1 << 20))
+    bxt = jnp.where(tile_flat(valid), tile_flat(bx), bad)
+    byt = jnp.where(tile_flat(valid), tile_flat(by), bad)
+    coords = jnp.stack([bxt, byt], axis=1)                   # (nT, 2, npx)
+    fracs = jnp.stack(
+        [tile_flat(fx), tile_flat(fy), tile_flat(wt)], axis=1
+    ).astype(jnp.float32)                                    # (nT, 3, npx)
+
+    npb = BAND_H * STILE_W
+
+    def kernel(counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, fracs_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        subR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[...] = jnp.zeros((1, CL, npx), jnp.float32)
+
+        @pl.when(j < counts_ref[i])
+        def _pair():
+            pid = pids_ref[i * cap + j]
+            pbits = bits_ref[i * cap + j]
+            cy = pid // Gx
+            cx = pid - cy * Gx
+            for b in range(N_BANDS):
+                @pl.when(((pbits >> b) & 1) != 0)
+                def _band(b=b):
+                    sl = pl.ds(b * npb, npb)
+                    bxv = coords_ref[0, 0:1, sl]                 # (1, npb)
+                    byv = coords_ref[0, 1:2, sl]
+                    fxv = fracs_ref[0, 0:1, sl]
+                    fyv = fracs_ref[0, 1:2, sl]
+                    wtv = fracs_ref[0, 2:3, sl]
+                    rel_x = bxv - cx * LT                        # lane of left tap
+                    rel_y = byv - cy * LT                        # cell-local row
+                    own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= 0) & (rel_x < LT)
+                    own &= (bxv >= 0) & (bxv + 1 < Ws_src) & (byv >= 0) & (byv + 1 < Hs_src)
+                    ry = jnp.where(own, rel_y, -2)
+                    rx = jnp.where(own, rel_x, -2)
+                    w_area = jnp.where(own, wtv, 0.0)
+                    # Two nonzeros per column: the y-lerp lives in the matmul.
+                    ohy = (ry == subR) * (w_area * (1.0 - fyv)) + (ry + 1 == subR) * (w_area * fyv)
+                    ohx = (rx == sub128) * (1.0 - fxv) + (rx + 1 == sub128) * fxv
+
+                    trows = tile_ref[0]                          # (R, C*128)
+                    r2 = jax.lax.dot_general(
+                        trows.astype(dot_dtype), ohy.astype(dot_dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                            # (C*128, npb)
+                    for c in range(C):
+                        rc = r2[c * STILE_W : (c + 1) * STILE_W]
+                        val = (ohx * rc).sum(axis=0, keepdims=True)  # (1, npb)
+                        out_ref[0, c, sl] = out_ref[0, c, sl] + val[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # counts, pids, bits
+        grid=(nT, cap),
+        in_specs=[
+            pl.BlockSpec((1, R, C * STILE_W), lambda i, j, c, p, bb: (p[i * cap + j], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+            pl.BlockSpec((1, 3, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, CL, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nT, CL, npx), jnp.float32),
+        interpret=interpret,
+    )(counts, pids, bits, grid.tiles, coords, fracs)
+
+    out = out[:, :C].reshape(n_rows, n_cols, C, STILE_H, STILE_W)
+    out = out.transpose(2, 0, 3, 1, 4).reshape(C, H, W)
     return out, overflow

@@ -406,6 +406,7 @@ def _shade_pixels(
     dir_lights: DirLightArrays, point_lights: PointLightArrays,
     shadow_atlas, uniforms: FrameUniformsArrays,
     shadow_values=None,  # optional (L, N) precomputed shadow factors
+    tex_samples=None,    # optional precomputed per-slot samples (list of (N,4)/None)
 ):
     """The get_pixel_data + lighting-loop body over flat (N,) pixels."""
     N = mdata.shape[0]
@@ -414,6 +415,11 @@ def _shade_pixels(
     coords = jnp.einsum("nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1))[:, :2]
 
     def sample(slot, srgb=False, default=1.0):
+        if tex_samples is not None:
+            # Inactive slots behave like the old path's unbound slots: a
+            # constant white texture (their has_* masks are all-false anyway).
+            s = tex_samples[slot]
+            return s if s is not None else jnp.ones((N, 4), jnp.float32)
         if textures is None or mtex is None:
             return None
         from . import texture as tex_ops

@@ -15,9 +15,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TextureArrays", "build_texture_atlas", "build_cube_array", "sample_textures", "sample_cube"]
+__all__ = [
+    "TextureArrays",
+    "build_texture_atlas",
+    "build_cube_array",
+    "sample_textures",
+    "sample_textures_grid",
+    "sample_cube",
+    "NSLOT",
+]
 
 MAX_MIPS = 14
+NSLOT = 10  # material texture slots (shade.TEX_* order)
 
 
 class TextureArrays(NamedTuple):
@@ -63,14 +72,20 @@ def _shelf_pack(sizes):
 
 
 def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
-    """textures: manager dict idx -> InternalTexture(mips=[...])."""
+    """textures: manager dict idx -> InternalTexture(mips=[...]).
+
+    Every mip is packed with a 1-texel wrapped gutter on all sides (repeat
+    addressing pre-baked into the border) so bilinear taps at rect edges —
+    including the floor tap at -1 — read the wrapped texel with plain
+    static +0/+1 offsets; rects point at the gutter interior. This is what
+    makes the MXU sampler's contiguous 2x2 footprint exact under repeat."""
     n_slots = (max(textures.keys()) + 1) if textures else 0
     entries = []  # (slot, mip, array)
     sizes = []
     for idx, t in textures.items():
         for mi, mip in enumerate(t.mips[:MAX_MIPS]):
             entries.append((idx, mi, mip))
-            sizes.append((mip.shape[1], mip.shape[0]))
+            sizes.append((mip.shape[1] + 2, mip.shape[0] + 2))
     if entries:
         pos, (W, H) = _shelf_pack(sizes)
     else:
@@ -82,8 +97,14 @@ def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
     for (idx, mi, mip), p in zip(entries, pos):
         x, y = p
         h, w = mip.shape[0], mip.shape[1]
-        atlas[y : y + h, x : x + w] = mip
-        rects[idx + 1, mi] = (x, y, w, h)
+        g = np.zeros((h + 2, w + 2, 4), dtype=np.float32)
+        g[1 : h + 1, 1 : w + 1] = mip
+        g[0, 1 : w + 1] = mip[h - 1]
+        g[h + 1, 1 : w + 1] = mip[0]
+        g[:, 0] = g[:, w]
+        g[:, w + 1] = g[:, 1]
+        atlas[y : y + h + 2, x : x + w + 2] = g
+        rects[idx + 1, mi] = (x + 1, y + 1, w, h)
         mip_counts[idx + 1] = max(mip_counts[idx + 1], mi + 1)
 
     return TextureArrays(
@@ -238,3 +259,121 @@ def sample_cube(cube: CubeArrays, slot: int, dirs: jnp.ndarray) -> jnp.ndarray:
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_textures_grid(
+    tex: TextureArrays,
+    mtex: jnp.ndarray,        # (N, NSLOT) 1-based texture ids per pixel
+    coords: jnp.ndarray,      # (N, 2) uv (post material transform)
+    duv,                      # (N, 2, 2) uv screen gradients or None
+    mflags: jnp.ndarray,      # (N,) material flags
+    hw,                       # (H, W) pixel layout of the flat N axis
+    active_slots,             # static tuple of slot indices to sample
+    *,
+    pair_cap: int = 16,
+    interpret: bool = False,
+):
+    """Deferred-path textureSampleGrad for (H, W)-organized pixels through
+    the MXU bilinear gather (mxu_gather.sample_grid_bilinear).
+
+    All active slots' trilinear queries (2 mip levels each) are stacked
+    row-wise into ONE sampler call; the mip lerp weights ride in the
+    per-query weight plane so the two returned mip samples just add.
+    Returns (samples, overflow): samples is a list of NSLOT entries,
+    (N, 4) for active slots and None for inactive ones (callers treat
+    None as "slot never present this frame").
+    """
+    from .shade import MF  # local import to avoid cycle
+    from . import mxu_gather as mg
+
+    H, W = hw
+    N = H * W
+    S = tex.rects.shape[0]
+    rects_flat = tex.rects.reshape(S, MAX_MIPS * 4)
+
+    u, v = coords[:, 0], coords[:, 1]
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    nearest = (mflags & MF.NEAREST) != 0
+
+    q_bx, q_by, q_fx, q_fy, q_wt, q_valid = [], [], [], [], [], []
+    for q in active_slots:
+        slv = mtex[:, q]
+        s = jnp.clip(slv, 0, S - 1)
+        oh = jax.nn.one_hot(s, S, dtype=jnp.float32)                  # (N, S)
+        rect_all = jax.lax.dot_general(
+            oh, rects_flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(N, MAX_MIPS, 4)
+        nmips = jnp.maximum(
+            jnp.round(oh @ tex.mip_counts.astype(jnp.float32)), 1.0
+        )                                                             # (N,) f32
+
+        if duv is not None:
+            tw, th = rect_all[:, 0, 2], rect_all[:, 0, 3]
+            dx = duv[:, 0] * jnp.stack([tw, th], -1)
+            dy = duv[:, 1] * jnp.stack([tw, th], -1)
+            rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
+            lam = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, nmips - 1.0)
+        else:
+            lam = jnp.zeros(N, jnp.float32)
+
+        l0 = jnp.floor(lam)
+        lf = lam - l0
+        l0i = l0.astype(jnp.int32)
+        l1i = jnp.minimum(l0i + 1, (nmips - 1.0).astype(jnp.int32))
+
+        def pick(li):
+            out = rect_all[:, 0]
+            for lv in range(1, MAX_MIPS):
+                out = jnp.where((li == lv)[:, None], rect_all[:, lv], out)
+            return out
+
+        valid0 = slv > 0
+        for k, (li, wt) in enumerate(
+            (
+                (l0i, jnp.where(nearest, 1.0, 1.0 - lf)),
+                (l1i, jnp.where(nearest, 0.0, lf)),
+            )
+        ):
+            r = pick(li)
+            rx, ry, rw, rh = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+            # linear: floor tap of uu*rw - 0.5 (may be -1 -> left gutter)
+            xf = uu * rw - 0.5
+            yf = vv * rh - 0.5
+            x0 = jnp.floor(xf)
+            y0 = jnp.floor(yf)
+            fx = xf - x0
+            fy = yf - y0
+            # nearest: exact texel, zero fractions
+            xn = jnp.minimum(jnp.floor(uu * rw), rw - 1.0)
+            yn = jnp.minimum(jnp.floor(vv * rh), rh - 1.0)
+            bx = jnp.where(nearest, xn, x0) + rx
+            by = jnp.where(nearest, yn, y0) + ry
+            fx = jnp.where(nearest, 0.0, fx)
+            fy = jnp.where(nearest, 0.0, fy)
+            vq = valid0 if k == 0 else (valid0 & ~nearest & (lf > 0.0))
+            q_bx.append(bx.astype(jnp.int32).reshape(H, W))
+            q_by.append(by.astype(jnp.int32).reshape(H, W))
+            q_fx.append(fx.reshape(H, W))
+            q_fy.append(fy.reshape(H, W))
+            q_wt.append(wt.reshape(H, W))
+            q_valid.append(vq.reshape(H, W))
+
+    if not q_bx:
+        return [None] * NSLOT, jnp.int32(0)
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    planes = jnp.moveaxis(tex.atlas, -1, 0)  # (4, AH, AW)
+    out, overflow = mg.sample_grid_bilinear(
+        planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy), cat(q_wt), cat(q_valid),
+        pair_cap=pair_cap, interpret=interpret,
+    )
+    out = out.reshape(4, len(q_bx), H, W)
+
+    samples = [None] * NSLOT
+    for i, q in enumerate(active_slots):
+        res = (out[:, 2 * i] + out[:, 2 * i + 1]).reshape(4, N).T   # (N, 4)
+        samples[q] = jnp.where((mtex[:, q] > 0)[:, None], res, 1.0)
+    return samples, overflow

@@ -191,11 +191,15 @@ class BaseRenderGraph:
         if counts[3] > 0 and self._caps["tile_shadow_mult"] < 64:
             self._caps["tile_shadow_mult"] *= 2
             grew = True
+        if len(counts) > 5 and counts[5] > 0 and self._caps.get("tex_pair", 16) < 256:
+            self._caps["tex_pair"] = self._caps.get("tex_pair", 16) * 2
+            grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
             "shadow_survivors": int(counts[1]),
             "bin_overflow": int(counts[2]) + int(counts[3]),
             "sample_pair_overflow": int(counts[4]),
+            "tex_pair_overflow": int(counts[5]) if len(counts) > 5 else 0,
         }
         if self.last_stats["bin_overflow"]:
             import logging
@@ -343,6 +347,13 @@ class BaseRenderGraph:
         shadow_cap = self._survivor_cap("shadow", ctable)
         tmul_main = self._caps.setdefault("tile_main_mult", 1)
         tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
+        tex_pair_cap = self._caps.setdefault("tex_pair", 16)
+        # Static per-frame texture-slot usage: slots no material references
+        # are never sampled (the WGSL equivalent would be a shader variant).
+        active_tex_slots = ()
+        if textures is not None:
+            host_tex = r.material_manager.archetypes[arch].textures
+            active_tex_slots = tuple(int(q) for q in np.nonzero(host_tex.any(axis=0))[0])
         self._last_caps = (main_cap, shadow_cap)
         key = (
             target.width,
@@ -359,6 +370,8 @@ class BaseRenderGraph:
             shadow_cap,
             tmul_main,
             tmul_shadow,
+            active_tex_slots,
+            tex_pair_cap,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -409,7 +422,8 @@ class BaseRenderGraph:
 
     def _build_program(self, key):
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
-         backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow) = key
+         backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
+         active_tex_slots, tex_pair_cap) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -449,6 +463,7 @@ class BaseRenderGraph:
             bin_overflows = []
             shadow_bin_overflows = []
             pair_overflows = []
+            tex_pair_overflows = []
 
             # Pre-gather triangle corner positions once (post-skinning) and
             # share across the main + shadow + occlusion passes — the per-tri
@@ -666,12 +681,35 @@ class BaseRenderGraph:
 
                 if _DEBUG_STOP_AFTER == "shadow":
                     return shadow_values
-                gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
-                img = light_ops.light_gbuffer(
-                    gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
-                    background[0], textures=textures if has_tex else None,
-                    shadow_values=shadow_values,
-                )[None]
+                if has_tex and active_tex_slots:
+                    # The MXU texture sampler needs the (32, 128)-tileable
+                    # padded layout; light the padded G-buffer and crop after
+                    # (padding pixels are no-hit -> background).
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data)
+                    bg_p = jnp.pad(
+                        background[0], ((0, hp - height), (0, wp - width), (0, 0))
+                    )
+                    sv_p = (
+                        jnp.pad(shadow_values, ((0, 0), (0, hp - shadow_values.shape[1]), (0, wp - shadow_values.shape[2])))
+                        if shadow_values is not None else None
+                    )
+                    img, tex_ovf = light_ops.light_gbuffer(
+                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
+                        bg_p, textures=textures,
+                        shadow_values=sv_p,
+                        active_tex_slots=active_tex_slots,
+                        tex_pair_cap=tex_pair_cap, interpret=interp,
+                    )
+                    tex_pair_overflows.append(tex_ovf)
+                    img = img[:height, :width][None]
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
+                else:
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
+                    img = light_ops.light_gbuffer(
+                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
+                        background[0], textures=textures if has_tex else None,
+                        shadow_values=shadow_values,
+                    )[None]
                 if _DEBUG_STOP_AFTER == "light":
                     return img
                 vis = raster_ops.VisBuffer(
@@ -728,6 +766,7 @@ class BaseRenderGraph:
                     sum(bin_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(shadow_bin_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
+                    sum(tex_pair_overflows, jnp.int32(0)).astype(jnp.int32),
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from rend3_tpu.ops import mxu_gather as mg
@@ -67,3 +68,80 @@ def test_sample_grid_multi_tile_screen():
     want = _reference(img, bx, by, valid, offsets)
     assert int(overflow) == 0
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sample_grid_bilinear_matches_reference():
+    rng = np.random.default_rng(6)
+    H, W = 32, 128
+    C, Hs, Ws = 3, 100, 150
+    planes = rng.standard_normal((C, Hs, Ws)).astype(np.float32)
+    bx = rng.integers(-5, Ws + 5, size=(H, W)).astype(np.int32)
+    by = rng.integers(-5, Hs + 5, size=(H, W)).astype(np.int32)
+    fx = rng.random((H, W)).astype(np.float32)
+    fy = rng.random((H, W)).astype(np.float32)
+    wt = rng.random((H, W)).astype(np.float32)
+    valid = rng.random((H, W)) > 0.2
+
+    got, overflow = mg.sample_grid_bilinear(
+        jnp.asarray(planes), jnp.asarray(bx), jnp.asarray(by),
+        jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(wt), jnp.asarray(valid),
+        pair_cap=16, interpret=True,
+    )
+    assert int(overflow) == 0
+    ok = valid & (bx >= 0) & (bx + 1 < Ws) & (by >= 0) & (by + 1 < Hs)
+    want = np.zeros((C, H, W), np.float32)
+    yc = np.clip(by, 0, Hs - 2)
+    xc = np.clip(bx, 0, Ws - 2)
+    for c in range(C):
+        p = planes[c]
+        top = p[yc, xc] * (1 - fx) + p[yc, xc + 1] * fx
+        bot = p[yc + 1, xc] * (1 - fx) + p[yc + 1, xc + 1] * fx
+        want[c] = np.where(ok, wt * (top * (1 - fy) + bot * fy), 0.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_textures_grid_matches_scalar_sampler():
+    from rend3_tpu.ops import texture as tex_ops
+    from rend3_tpu.ops.shade import MF
+
+    rng = np.random.default_rng(7)
+
+    class T:
+        def __init__(self, mips):
+            self.mips = mips
+
+    def mips_for(w, h):
+        m0 = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+        mips, cur = [m0], m0
+        while min(cur.shape[:2]) > 1:
+            nh, nw = max(1, cur.shape[0] // 2), max(1, cur.shape[1] // 2)
+            cur = cur[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, 4).mean(axis=(1, 3))
+            mips.append(cur.astype(np.float32))
+        return mips
+
+    tex = tex_ops.build_texture_atlas(
+        {0: T(mips_for(64, 64)), 1: T(mips_for(128, 32)), 2: T(mips_for(48, 48))}
+    )
+
+    H, W = 32, 128
+    N = H * W
+    mtex = np.zeros((N, tex_ops.NSLOT), np.int32)
+    mtex[:, 0] = rng.integers(0, 4, N)
+    mtex[:, 1] = rng.integers(0, 4, N)
+    coords = rng.uniform(-1.5, 2.5, (N, 2)).astype(np.float32)
+    duv = (rng.uniform(-1, 1, (N, 2, 2)) * 0.02).astype(np.float32)
+    mflags = np.where(rng.uniform(size=N) < 0.2, MF.NEAREST, 0).astype(np.int32)
+
+    import functools
+    f = jax.jit(functools.partial(
+        tex_ops.sample_textures_grid, hw=(H, W), active_slots=(0, 1),
+        pair_cap=64, interpret=True))
+    samples, ovf = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
+                     jnp.asarray(duv), jnp.asarray(mflags))
+    assert int(ovf) == 0
+    assert samples[2] is None  # inactive slot
+    for q in (0, 1):
+        ref = np.asarray(tex_ops.sample_textures(
+            tex, jnp.asarray(mtex[:, q]), jnp.asarray(coords),
+            jnp.asarray(duv), jnp.asarray(mflags)))
+        np.testing.assert_allclose(np.asarray(samples[q]), ref, rtol=2e-5, atol=2e-5)
