@@ -214,19 +214,54 @@ def attribute_planes(
 
 BAND_H = 8  # fine-raster band height: bands partition each tile's pixel rows
 N_BANDS = DTILE_H // BAND_H
+CHUNK = 64               # packed-list rows DMA'd per grid step
+GPC = CHUNK // GROUP     # groups per chunk
 
 
-def _band_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, k_total=None):
-    """Refine tile lists into tightly-packed per-band lists."""
-    from .geometry import pack_bands
+def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int = 1):
+    """Chunk-aligned per-tile lists (geometry.pack_chunks) plus the static
+    capacity/chunk bounds. Capacity defaults to one chunk per tile + 2x the
+    survivor table (pairs rarely exceed 2x survivors), scaled by the
+    adaptive flat_mult."""
+    from .geometry import pack_chunks
 
-    K = binned.ids.shape[1]
-    if k_total is None:
-        # A triangle is duplicated only into the (usually 1-2) bands its
-        # bbox overlaps; 1.5x the tile list plus slack covers typical scenes
-        # and overflow feeds the adaptive tile caps.
-        k_total = -(-(K + K // 2) // GROUP) * GROUP
-    return pack_bands(tris, binned, N_BANDS, BAND_H, n_cols, k_total)
+    nT, K = binned.ids.shape
+    T = tris.setup.shape[0]
+    cap_total = -(-(nT * CHUNK + 2 * T * flat_mult) // CHUNK) * CHUNK
+    max_chunks = max(1, -(-K // CHUNK))
+    flat = pack_chunks(tris, binned, N_BANDS, BAND_H, n_cols, CHUNK, cap_total, max_chunks)
+    return flat, cap_total, max_chunks
+
+
+def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
+    """1D work queue for the chunked raster kernels: one grid step per
+    occupied (tile, phase, chunk) plus a finalize step per tile. Returns
+    (step_tile, step_kind, step_chunk, n_steps_static). kind: 0..phases-1 =
+    that phase's chunk, `phases` = finalize, phases+1 = padding no-op.
+
+    The raster grids iterate real work only — a 2D (tile, max_chunks) grid
+    pays the Mosaic step overhead for every skipped slot, which made kernel
+    time capacity-proportional."""
+    nc = flat.n_chunks
+    per_tile = phases * nc + 1
+    tile_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
+    )
+    total = tile_start[-1] + per_tile[-1]
+    S = phases * (cap_total // CHUNK) + n_tiles + 1
+    s = jnp.arange(S, dtype=jnp.int32)
+    tile = jnp.clip(jnp.searchsorted(tile_start, s, side="right").astype(jnp.int32) - 1, 0, n_tiles - 1)
+    local = s - tile_start[tile]
+    nct = nc[tile]
+    phase = jnp.minimum(local // nct, phases)          # 0..phases-1, then final
+    chunk = local - phase * nct
+    kind = jnp.where(local >= phases * nct, phases, phase)
+    chunk = jnp.where(kind >= phases, 0, chunk)
+    pad = s >= total
+    step_tile = jnp.where(pad, n_tiles - 1, tile).astype(jnp.int32)
+    step_kind = jnp.where(pad, phases + 1, kind).astype(jnp.int32)
+    step_chunk = jnp.where(pad, 0, chunk).astype(jnp.int32)
+    return step_tile, step_kind, step_chunk, S
 
 
 def raster_depth(
@@ -236,96 +271,134 @@ def raster_depth(
     height: int,
     *,
     interpret: bool = False,
+    flat_mult: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Depth-only grouped raster over (8, 128)-pixel bands: ((H, W) f32,
-    band-overflow counter).
+    """Depth-only raster over chunk-packed per-tile lists: ((H, W) f32,
+    overflow counter).
 
-    Used for the Hi-Z predicted-depth prepass (reference: two-phase culling,
-    base.rs:155-172) and fast shadow-map rendering."""
+    The grid is a 1D work queue of occupied (tile, chunk) steps (see
+    _step_tables): each step DMAs one (CHUNK, SETUP_W) slice of the flat
+    setup table and each 8-triangle group is tested only against the
+    (8, 128)-pixel bands its band mask covers — bandwidth, compute AND grid
+    overhead all scale with the scene's real triangle-tile pairs. Used for
+    the Hi-Z predicted-depth prepass (reference: two-phase culling,
+    base.rs:155-172) and shadow maps."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    banded = _band_lists(tris, binned, n_cols)
-    Kt = banded.ids.shape[1]
-    bset = tris.setup[jnp.clip(banded.ids, 0, tris.setup.shape[0] - 1)]
+    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult)
+    bset = tris.setup[jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)]  # (cap, W)
+    st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=1)
+    depth = _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret)
+    return depth, flat.overflow
 
-    npix_b = BAND_H * DTILE_W
 
-    def kernel(counts_ref, bset_ref, depth_ref):
-        i = pl.program_id(0)
+def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = height // DTILE_H
+    n_cols = width // DTILE_W
+    n_tiles = n_rows * n_cols
+    npb = BAND_H * DTILE_W
+
+    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, out_ref, depth_ref):
+        s = pl.program_id(0)
+        i = st_ref[s]
+        kind = sk_ref[s]
+        chunk = sc_ref[s]
+        gbase = (cb_ref[i] + chunk) * GPC
         row = i // n_cols
         col = i - row * n_cols
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_b), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
         pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
         py0 = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
 
-        start = 0
-        for b in range(N_BANDS):
-            cnt = counts_ref[i * N_BANDS + b]
-            pyf = py0 + float(b * BAND_H)
+        @pl.when((kind == 0) & (chunk == 0))
+        def _init():
+            depth_ref[...] = jnp.zeros((N_BANDS, npb), jnp.float32)
 
-            def grp(gk, depth, b=b, cnt=cnt, pyf=pyf, start=start):
-                base = gk * GROUP
-                blk = bset_ref[0, pl.ds(start + base, GROUP), :]
+        @pl.when(kind == 0)
+        def _chunk():
+            for g in range(GPC):
+                meta = meta_ref[gbase + g]
+                bmask = meta >> 4
+                gvalid = meta & 15
 
-                def cf(lane_idx):
-                    return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
+                @pl.when(gvalid > 0)
+                def _grp(g=g, bmask=bmask, gvalid=gvalid):
+                    blk = bset_ref[pl.ds(g * GROUP, GROUP), :]
 
-                valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
-                e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
-                e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
-                e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
-                c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
-                c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
-                c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-                z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
-                cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-                return jnp.maximum(depth, jnp.where(cov, z, 0.0).max(axis=0, keepdims=True))
+                    def cf(k):
+                        return blk[:, k : k + 1]              # (GROUP, 1)
 
-            depth = jax.lax.fori_loop(
-                0, pl.cdiv(cnt, GROUP), grp, jnp.zeros((1, npix_b), jnp.float32)
-            )
-            depth_ref[0, pl.ds(b * BAND_H, BAND_H), :] = depth.reshape(BAND_H, DTILE_W)
-            start = start + cnt
+                    valid = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) < gvalid
+                    for b in range(N_BANDS):
+                        @pl.when(((bmask >> b) & 1) != 0)
+                        def _band(b=b):
+                            pyf = py0 + float(b * BAND_H)
+                            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
+                            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+                            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
+                            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+                            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+                            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+                            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
+                            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                            zb = jnp.where(cov, z, 0.0).max(axis=0, keepdims=True)
+                            d = depth_ref[b : b + 1, :]
+                            depth_ref[b : b + 1, :] = jnp.maximum(d, zb)
+
+        @pl.when(kind == 1)
+        def _final():
+            out_ref[0] = depth_ref[...].reshape(DTILE_H, DTILE_W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, Kt, SETUP_W), lambda i, c: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0)),
+        num_scalar_prefetch=5,  # step_tile, step_kind, step_chunk, chunk_base, meta
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(
+                (CHUNK, SETUP_W),
+                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((N_BANDS, npb), jnp.float32)],
     )
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(banded.counts.reshape(-1), bset)
-    depth = tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
-    return depth, banded.overflow
+    )(st, sk, sc, flat.chunk_base, flat.group_meta, bset)
+    return tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
 
 
 def raster_resolve(
     tris: TriSetup,
-    planes: jnp.ndarray,    # (V, PLANES_W)
+    planes: jnp.ndarray,
     binned: BinnedTris,
     width: int,
     height: int,
     *,
     interpret: bool = False,
+    flat_mult: int = 1,
 ) -> Tuple[GBuffer, jnp.ndarray]:
-    """The fused raster + resolve Pallas kernel over (32, 128) tiles split
-    into exact (8, 128) bands.
+    """The fused raster + resolve Pallas kernel over chunk-packed per-tile
+    lists.
 
-    Per band: pass 1 does grouped (8 triangles at a time) vectorized
-    edge/depth tests -> winner index per pixel; pass 2 selects, for groups
-    containing winners, the winner's 64 plane coefficients per pixel with an
-    (8 x 64)^T @ (8 x 1024) one-hot matmul on the MXU, then evaluates all
-    attribute planes once per pixel. Banding keeps the per-step work and DMA
-    proportional to the triangles that can actually touch the band's pixel
-    rows. Output: ((GB_CH, H, W) numerator-space G-buffer, band overflow).
+    The grid is a 1D work queue of occupied steps (_step_tables) with two
+    phases per tile plus finalize. Phase A (kind 0): grouped vectorized
+    edge/depth tests against each band the group's band mask covers update
+    the per-band depth/winner scratch. Phase B (kind 1, same chunks again):
+    groups containing final winners select their 64 plane coefficients per
+    pixel with an (8 x 64)^T @ (8 x 1024) one-hot matmul on the MXU into
+    the per-band coef scratch. Finalize (kind 2): evaluate all attribute
+    planes once per pixel and write the tile's G-buffer block.
+    Output: ((GB_CH, H, W) numerator-space G-buffer, overflow counter).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -333,132 +406,157 @@ def raster_resolve(
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    banded = _band_lists(tris, binned, n_cols)
-    Kt = banded.ids.shape[1]
+    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult)
 
-    gi = jnp.clip(banded.ids, 0, tris.setup.shape[0] - 1)
-    bset = tris.setup[gi]      # (nT, Kt, SETUP_W)
-    bplanes = planes[gi]       # (nT, Kt, PLANES_W)
+    gi = jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)
+    bset = tris.setup[gi]      # (cap, SETUP_W)
+    bplanes = planes[gi]       # (cap, PLANES_W)
+    st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=2)
 
-    npix_b = BAND_H * DTILE_W
+    npb = BAND_H * DTILE_W
 
-    def kernel(counts_ref, bset_ref, bpl_ref, out_ref, coef_ref):
-        i = pl.program_id(0)
+    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, out_ref,
+               depth_ref, win_ref, coef_ref):
+        s = pl.program_id(0)
+        i = st_ref[s]
+        kind = sk_ref[s]
+        chunk = sc_ref[s]
+        gbase = (cb_ref[i] + chunk) * GPC
         row = i // n_cols
         col = i - row * n_cols
-        ybase = (row * DTILE_H).astype(jnp.float32)
-        xbase = (col * DTILE_W).astype(jnp.float32)
-        # Flat pixel layout: tris along sublanes, pixels along lanes — all
-        # per-triangle coefficient broadcasts are native sublane broadcasts.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix_b), 1)
-        pxf = (lane % DTILE_W).astype(jnp.float32) + xbase + 0.5
-        py0 = (lane // DTILE_W).astype(jnp.float32) + ybase + 0.5
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
+        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
+        py0 = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
 
-        start = 0
-        for b in range(N_BANDS):
-            cnt = counts_ref[i * N_BANDS + b]
-            pyf = py0 + float(b * BAND_H)
-            ngroups = pl.cdiv(cnt, GROUP)
+        @pl.when((kind == 0) & (chunk == 0))
+        def _init():
+            depth_ref[...] = jnp.zeros((N_BANDS, npb), jnp.float32)
+            win_ref[...] = jnp.full((N_BANDS, npb), -1, jnp.int32)
+            coef_ref[...] = jnp.zeros((N_BANDS, PLANES_W, npb), jnp.float32)
 
-            # ---- pass 1: visibility ----
-            def grp_body(gk, carry, b=b, cnt=cnt, pyf=pyf, start=start):
-                depth, win = carry                               # (1, npix_b)
-                base = gk * GROUP
-                blk = bset_ref[0, pl.ds(start + base, GROUP), :]  # (GROUP, SETUP_W)
+        @pl.when(kind == 0)
+        def _phase_a():
+            for g in range(GPC):
+                meta = meta_ref[gbase + g]
+                bmask = meta >> 4
+                gvalid = meta & 15
 
-                def cf(lane_idx):
-                    return blk[:, lane_idx : lane_idx + 1]       # (GROUP, 1)
+                @pl.when(gvalid > 0)
+                def _grp(g=g, bmask=bmask, gvalid=gvalid):
+                    blk = bset_ref[pl.ds(g * GROUP, GROUP), :]
 
-                valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base) < cnt
-                e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)  # (GROUP, npix_b)
-                e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
-                e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
-                c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
-                c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
-                c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
-                z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
-                cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
-                zm = jnp.where(cov, z, -1.0)                     # (GROUP, npix_b)
+                    def cf(k):
+                        return blk[:, k : k + 1]
 
-                # last-wins argmax within the group
-                best_z = zm.max(axis=0, keepdims=True)           # (1, npix_b)
-                gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
-                best_local = jnp.where(zm == best_z, gidx, -1).max(axis=0, keepdims=True)
-                upd = (best_z >= depth) & (best_z > -1.0)
-                return (
-                    jnp.where(upd, best_z, depth),
-                    jnp.where(upd, base + best_local, win),
+                    valid = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) < gvalid
+                    entry_base = chunk * CHUNK + g * GROUP    # offset in tile segment
+                    for b in range(N_BANDS):
+                        @pl.when(((bmask >> b) & 1) != 0)
+                        def _band(b=b):
+                            pyf = py0 + float(b * BAND_H)
+                            e0 = cf(S_EA) * pxf + cf(S_EB) * pyf + cf(S_EC)
+                            e1 = cf(S_EA + 1) * pxf + cf(S_EB + 1) * pyf + cf(S_EC + 1)
+                            e2 = cf(S_EA + 2) * pxf + cf(S_EB + 2) * pyf + cf(S_EC + 2)
+                            c0 = (e0 > 0.0) | ((e0 == 0.0) & (cf(S_TL) > 0.0))
+                            c1 = (e1 > 0.0) | ((e1 == 0.0) & (cf(S_TL1) > 0.0))
+                            c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
+                            z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
+                            cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                            zm = jnp.where(cov, z, -1.0)              # (GROUP, npb)
+
+                            # last-wins argmax within the group
+                            best_z = zm.max(axis=0, keepdims=True)    # (1, npb)
+                            gidx = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 0)
+                            best_local = jnp.where(zm == best_z, gidx, -1).max(axis=0, keepdims=True)
+                            d = depth_ref[b : b + 1, :]
+                            w = win_ref[b : b + 1, :]
+                            upd = (best_z >= d) & (best_z > -1.0)
+                            depth_ref[b : b + 1, :] = jnp.where(upd, best_z, d)
+                            win_ref[b : b + 1, :] = jnp.where(upd, entry_base + best_local, w)
+
+        @pl.when(kind == 1)
+        def _phase_b():
+            for g in range(GPC):
+                meta = meta_ref[gbase + g]
+                bmask = meta >> 4
+                gvalid = meta & 15
+
+                @pl.when(gvalid > 0)
+                def _grp(g=g, bmask=bmask):
+                    base = chunk * CHUNK + g * GROUP
+                    blkp = bpl_ref[pl.ds(g * GROUP, GROUP), :]  # (GROUP, PLANES_W)
+                    for b in range(N_BANDS):
+                        @pl.when(((bmask >> b) & 1) != 0)
+                        def _band(b=b):
+                            w = win_ref[b : b + 1, :]             # (1, npb)
+                            in_group = (w >= base) & (w < base + GROUP)
+
+                            @pl.when(jnp.any(in_group))
+                            def _sel():
+                                ids8 = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
+                                sel = (w == ids8).astype(jnp.float32)  # (GROUP, npb)
+                                contrib = jax.lax.dot_general(
+                                    blkp, sel,
+                                    dimension_numbers=(((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )                                      # (PLANES_W, npb)
+                                coef_ref[b] = coef_ref[b] + contrib
+
+        @pl.when(kind == 2)
+        def _final():
+            for b in range(N_BANDS):
+                coef = coef_ref[b]                             # (PLANES_W, npb)
+                depth = depth_ref[b : b + 1, :]                # (1, npb)
+                win = win_ref[b : b + 1, :]
+                pyf = py0 + float(b * BAND_H)
+
+                def plane(off):
+                    return coef[off : off + 1, :] * pxf + coef[off + 1 : off + 2, :] * pyf + coef[off + 2 : off + 3, :]
+
+                # Channel order must match G_* indices.
+                chans = [depth, plane(P_DEN)]
+                for k in range(3):
+                    chans.append(plane(P_VP + 3 * k))
+                for k in range(3):
+                    chans.append(plane(P_NRM + 3 * k))
+                for k in range(3):
+                    chans.append(plane(P_TAN + 3 * k))
+                for k in range(2):
+                    chans.append(plane(P_UV0 + 3 * k))
+                for k in range(2):
+                    chans.append(plane(P_UV1 + 3 * k))
+                for k in range(4):
+                    chans.append(plane(P_COL + 3 * k))
+                chans.append(coef[P_MAT : P_MAT + 1, :])
+                chans.append((win >= 0).astype(jnp.float32))
+                while len(chans) < GB_CH:
+                    chans.append(jnp.zeros((1, npb), jnp.float32))
+                out = jnp.concatenate(chans, axis=0)           # (GB_CH, npb)
+                out_ref[0, :, pl.ds(b * BAND_H, BAND_H), :] = out.reshape(
+                    GB_CH, BAND_H, DTILE_W
                 )
 
-            d0 = jnp.zeros((1, npix_b), jnp.float32)
-            w0 = jnp.full((1, npix_b), -1, jnp.int32)
-            depth, win = jax.lax.fori_loop(0, ngroups, grp_body, (d0, w0))
-
-            # ---- pass 2: accumulate the winner's plane row per pixel ----
-            # Accumulates into a VMEM scratch with predicated (pl.when)
-            # writes: a (PLANES_W, npix) fori-loop carry routed through
-            # lax.cond costs a full-buffer copy per group.
-            coef_ref[...] = jnp.zeros((PLANES_W, npix_b), jnp.float32)
-
-            def grp2_body(gk, carry, b=b, win=win, start=start):
-                base = gk * GROUP
-                in_group = (win >= base) & (win < base + GROUP)
-
-                @pl.when(jnp.any(in_group))
-                def _():
-                    ids = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + base
-                    sel = (win == ids).astype(jnp.float32)         # (GROUP, npix_b)
-                    blkp = bpl_ref[0, pl.ds(start + base, GROUP), :]  # (GROUP, PLANES_W)
-                    contrib = jax.lax.dot_general(
-                        blkp, sel,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                              # (PLANES_W, npix_b)
-                    coef_ref[...] = coef_ref[...] + contrib
-
-                return carry
-
-            jax.lax.fori_loop(0, ngroups, grp2_body, 0)
-            coef = coef_ref[...]                                   # (PLANES_W, npix_b)
-
-            # ---- final: evaluate all planes once per pixel ----
-
-            def plane(off):
-                return coef[off : off + 1, :] * pxf + coef[off + 1 : off + 2, :] * pyf + coef[off + 2 : off + 3, :]
-
-            # Channel order must match G_* indices.
-            chans = [depth, plane(P_DEN)]
-            for k in range(3):
-                chans.append(plane(P_VP + 3 * k))
-            for k in range(3):
-                chans.append(plane(P_NRM + 3 * k))
-            for k in range(3):
-                chans.append(plane(P_TAN + 3 * k))
-            for k in range(2):
-                chans.append(plane(P_UV0 + 3 * k))
-            for k in range(2):
-                chans.append(plane(P_UV1 + 3 * k))
-            for k in range(4):
-                chans.append(plane(P_COL + 3 * k))
-            chans.append(coef[P_MAT : P_MAT + 1, :])
-            chans.append((win >= 0).astype(jnp.float32))
-            while len(chans) < GB_CH:
-                chans.append(jnp.zeros((1, npix_b), jnp.float32))
-            out = jnp.concatenate(chans, axis=0)                   # (GB_CH, npix_b)
-            out_ref[0, :, pl.ds(b * BAND_H, BAND_H), :] = out.reshape(
-                GB_CH, BAND_H, DTILE_W
-            )
-            start = start + cnt
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        num_scalar_prefetch=5,
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, Kt, SETUP_W), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, Kt, PLANES_W), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec(
+                (CHUNK, SETUP_W),
+                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            ),
+            pl.BlockSpec(
+                (CHUNK, PLANES_W),
+                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            ),
         ],
-        out_specs=pl.BlockSpec((1, GB_CH, DTILE_H, DTILE_W), lambda i, c: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((PLANES_W, BAND_H * DTILE_W), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, GB_CH, DTILE_H, DTILE_W), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_BANDS, npb), jnp.float32),
+            pltpu.VMEM((N_BANDS, npb), jnp.int32),
+            pltpu.VMEM((N_BANDS, PLANES_W, npb), jnp.float32),
+        ],
     )
 
     tiles = pl.pallas_call(
@@ -466,8 +564,8 @@ def raster_resolve(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(banded.counts.reshape(-1), bset, bplanes)
+    )(st, sk, sc, flat.chunk_base, flat.group_meta, bset, bplanes)
 
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)
-    return GBuffer(data=data), banded.overflow
+    return GBuffer(data=data), flat.overflow

@@ -286,53 +286,75 @@ def bin_triangles(
     return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)
 
 
-class PackedBands(NamedTuple):
-    ids: jnp.ndarray       # (n_tiles, Ktot) i32 indices into the setup table
-    counts: jnp.ndarray    # (n_tiles, n_bands) i32 per-band entry counts
-    overflow: jnp.ndarray  # () i32
+class FlatChunks(NamedTuple):
+    """Chunk-aligned concatenation of the per-tile binned lists for the
+    chunked raster kernels (deferred.py): per-tile segments of the compacted
+    tile lists, one flat id table, per-GROUP metadata carrying a band
+    overlap MASK (union over the group's triangles) plus the valid-row
+    count. No band duplication: kernel DMA, the XLA setup/plane row-gathers
+    and the packing itself all scale with the scene's real triangle-tile
+    pairs instead of the worst tile's capacity."""
+
+    ids: jnp.ndarray         # (cap_total,) i32 triangle index per entry (-1 pad)
+    chunk_base: jnp.ndarray  # (n_tiles,) i32 first chunk of the tile's segment
+    n_chunks: jnp.ndarray    # (n_tiles,) i32 occupied chunks (>= 1)
+    group_meta: jnp.ndarray  # (cap_total // 8,) i32: band_mask << 4 | valid_rows
+    overflow: jnp.ndarray    # () i32
 
 
-def pack_bands(
+def pack_chunks(
     tris: TriSetup,
     binned: BinnedTris,
     n_bands: int,
     band_h: int,
     n_cols: int,
-    k_total: int,
-) -> PackedBands:
-    """Split each tile's triangle list into per-band (band_h pixel-row)
-    sub-lists packed TIGHTLY into one (k_total)-slot row per tile: band b's
-    entries start at sum(counts[:b]). Bands partition a tile's pixels, so
-    per-pixel candidate order is preserved; the fine raster skips
-    (triangle, band) pairs that cannot touch, and — unlike per-band capped
-    lists — the packed layout keeps kernel DMA proportional to the real
-    per-tile work (a triangle is duplicated only into bands it overlaps).
-    """
+    chunk: int,
+    cap_total: int,
+    max_chunks: int,
+    group: int = 8,
+) -> FlatChunks:
     nT, K = binned.ids.shape
-    live = binned.ids >= 0
-    g = jnp.clip(binned.ids, 0, tris.setup.shape[0] - 1)
-    ymin = jnp.where(live, tris.bbox[g, 1], 1e9)    # (nT, K)
-    ymax = jnp.where(live, tris.bbox[g, 3], -1e9)
+    counts = jnp.minimum(binned.counts, max_chunks * chunk)
+    clamp_dropped = (binned.counts - counts).sum()
+    tile_aligned = jnp.maximum(-(-counts // chunk) * chunk, chunk)
+    tile_base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_aligned)[:-1].astype(jnp.int32)]
+    )
+    total = tile_base[-1] + tile_aligned[-1]
+    overflow = jnp.maximum(total - cap_total, 0) + binned.overflow + clamp_dropped
 
-    row = jnp.arange(nT) // n_cols
-    y0 = (row * (n_bands * band_h)).astype(jnp.float32)  # tile top in pixels
+    p = jnp.arange(cap_total, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(tile_base, p, side="right").astype(jnp.int32) - 1, 0, nT - 1
+    )
+    local = p - tile_base[t]
+    valid = (local < counts[t]) & (p < total)
+    ids = jnp.where(
+        valid, binned.ids.reshape(-1)[t * K + jnp.minimum(local, K - 1)], -1
+    )
+
+    # Per-group band mask: a group is evaluated only against bands some
+    # member's bbox overlaps (the lists are in triangle-id order, which is
+    # spatially coherent, so the union stays tight).
+    g = jnp.clip(ids, 0, tris.setup.shape[0] - 1)
+    ymin = jnp.where(ids >= 0, tris.bbox[g, 1], 1e9)
+    ymax = jnp.where(ids >= 0, tris.bbox[g, 3], -1e9)
+    tile_y0 = ((t // n_cols) * (n_bands * band_h)).astype(jnp.float32)
     b = jnp.arange(n_bands, dtype=jnp.float32)
-    band_top = y0[:, None] + b[None, :] * band_h          # (nT, n_bands)
-    overlap = (
-        (ymax[:, None, :] > band_top[:, :, None])
-        & (ymin[:, None, :] < (band_top + band_h)[:, :, None])
-    )  # (nT, n_bands, K)
+    band_top = tile_y0[:, None] + b[None, :] * band_h     # (cap_total, nb)
+    overlap = (ymax[:, None] > band_top) & (ymin[:, None] < band_top + band_h)
+    ob = overlap.reshape(-1, group, n_bands).any(axis=1)  # (n_groups, nb)
+    gbits = (ob.astype(jnp.int32) << jnp.arange(n_bands)).sum(axis=1)
+    gvalid = (ids.reshape(-1, group) >= 0).sum(axis=1).astype(jnp.int32)
+    group_meta = jnp.where(gvalid > 0, (gbits << 4) | gvalid, 0)
 
-    ids2, total = _compact_rows(overlap.reshape(nT, n_bands * K), k_total)
-    k = jnp.where(ids2 >= 0, ids2 % K, 0)
-    ids = jnp.where(ids2 >= 0, jnp.take_along_axis(binned.ids, k, axis=1), -1)
-    ids = jnp.pad(ids, ((0, 0), (0, 8)), constant_values=-1)  # group over-read slack
-
-    counts = overlap.sum(axis=2).astype(jnp.int32)            # (nT, n_bands)
-    # Clamp so every band's [start, start+count) stays inside k_total.
-    ends = jnp.minimum(jnp.cumsum(counts, axis=1), k_total)
-    starts = jnp.concatenate([jnp.zeros((nT, 1), jnp.int32), ends[:, :-1]], axis=1)
-    counts = (ends - starts).astype(jnp.int32)
-
-    overflow = jnp.maximum(total - k_total, 0).sum() + binned.overflow
-    return PackedBands(ids=ids, counts=counts, overflow=overflow)
+    max_cb = cap_total // chunk
+    cb = jnp.minimum(tile_base // chunk, max_cb - 1).astype(jnp.int32)
+    nchunks = jnp.clip(tile_aligned // chunk, 1, jnp.maximum(max_cb - cb, 1)).astype(jnp.int32)
+    return FlatChunks(
+        ids=ids,
+        chunk_base=cb,
+        n_chunks=nchunks,
+        group_meta=group_meta,
+        overflow=overflow.astype(jnp.int32),
+    )

@@ -548,7 +548,7 @@ class BaseRenderGraph:
                     )
                     # Band overflow here only weakens culling (farther Hi-Z
                     # depth), never correctness — no counter needed.
-                    pdepth, _povf = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp)
+                    pdepth, _povf = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp, flat_mult=tmul_main)
                     hiz_pyramid = hiz_ops.build_pyramid(pdepth)
 
                 tris = geom_ops.cull_and_setup(
@@ -585,7 +585,7 @@ class BaseRenderGraph:
                 if _DEBUG_STOP_AFTER == "geom":
                     return planes, binned.counts, tris.count
                 gbuf_p, band_ovf = def_ops.raster_resolve(
-                    tris, planes, binned, wp, hp, interpret=interp
+                    tris, planes, binned, wp, hp, interpret=interp, flat_mult=tmul_main
                 )
                 main_count = tris.count
                 bin_overflows.append(band_ovf)
@@ -648,7 +648,7 @@ class BaseRenderGraph:
                             tile_cap=min(shadow_cap, _tile_cap_for(shadow_cap, n_tiles_s) * tmul_shadow),
                             tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                         )
-                        smap, sband_ovf = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp)
+                        smap, sband_ovf = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp, flat_mult=tmul_shadow)
                         occ, soverflow = shadow_ops.sample_shadow_map(
                             smap[:size, :size], sx, sy, hitp, interpret=interp
                         )
