@@ -384,6 +384,7 @@ def raster_resolve(
     width: int,
     height: int,
     *,
+    bound: jnp.ndarray = None,  # optional (H, W) exclusive reverse-Z upper bound
     interpret: bool = False,
     flat_mult: int = 1,
 ) -> Tuple[GBuffer, jnp.ndarray]:
@@ -414,9 +415,20 @@ def raster_resolve(
     st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=2)
 
     npb = BAND_H * DTILE_W
+    if bound is not None:
+        # Depth-peeling support (cutout): per-pixel exclusive upper bound,
+        # pre-flattened to the kernel's (tile, band, band-pixels) layout.
+        bound_t = (
+            bound.reshape(n_rows, N_BANDS, BAND_H, n_cols, DTILE_W)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(n_tiles, N_BANDS, npb)
+        )
 
-    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, out_ref,
-               depth_ref, win_ref, coef_ref):
+    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, *rest):
+        if bound is not None:
+            bnd_ref, out_ref, depth_ref, win_ref, coef_ref = rest
+        else:
+            out_ref, depth_ref, win_ref, coef_ref = rest
         s = pl.program_id(0)
         i = st_ref[s]
         kind = sk_ref[s]
@@ -462,6 +474,8 @@ def raster_resolve(
                             c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
                             z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
                             cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                            if bound is not None:
+                                cov = cov & (z < bnd_ref[0][b : b + 1, :])
                             zm = jnp.where(cov, z, -1.0)              # (GROUP, npb)
 
                             # last-wins argmax within the group
@@ -536,19 +550,26 @@ def raster_resolve(
                     GB_CH, BAND_H, DTILE_W
                 )
 
+    in_specs = [
+        pl.BlockSpec(
+            (CHUNK, SETUP_W),
+            lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+        ),
+        pl.BlockSpec(
+            (CHUNK, PLANES_W),
+            lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+        ),
+    ]
+    inputs = [bset, bplanes]
+    if bound is not None:
+        in_specs.append(
+            pl.BlockSpec((1, N_BANDS, npb), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0))
+        )
+        inputs.append(bound_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(S,),
-        in_specs=[
-            pl.BlockSpec(
-                (CHUNK, SETUP_W),
-                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
-            ),
-            pl.BlockSpec(
-                (CHUNK, PLANES_W),
-                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, GB_CH, DTILE_H, DTILE_W), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0, 0)
         ),
@@ -564,7 +585,7 @@ def raster_resolve(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(st, sk, sc, flat.chunk_base, flat.group_meta, bset, bplanes)
+    )(st, sk, sc, flat.chunk_base, flat.group_meta, *inputs)
 
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)

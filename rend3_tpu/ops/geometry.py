@@ -145,9 +145,11 @@ def cull_and_setup(
     if hiz is not None:
         from . import hi_z as hiz_ops
 
+        # Query only triangles that survived every other cull: the MXU
+        # sampler's pair lists (and so its cost) scale with live queries.
         occluded = hiz_ops.occlusion_test(
             hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height,
-            interpret=hiz_interpret,
+            live=keep, interpret=hiz_interpret,
         )
         keep = keep & ~occluded
 

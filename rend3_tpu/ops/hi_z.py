@@ -52,6 +52,7 @@ def occlusion_test(
     width: int,
     height: int,
     *,
+    live=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Vectorized over triangles: True where definitely occluded.
@@ -97,8 +98,9 @@ def occlusion_test(
     def img(a, fill):
         return jnp.pad(a, (0, Vp - V), constant_values=fill).reshape(Vp // 128, 128)
 
+    valid = jnp.ones(V, bool) if live is None else live
     vals, _ovf = mg.sample_grid(
-        atlas, img(bx, 0), img(by, 0), img(jnp.ones(V, bool), False),
+        atlas, img(bx, 0), img(by, 0), img(valid, False),
         ((0, 0), (1, 0), (0, 1), (1, 1)), pair_cap=64, interpret=interpret,
     )
     m = jnp.minimum(jnp.minimum(vals[0], vals[1]), jnp.minimum(vals[2], vals[3]))

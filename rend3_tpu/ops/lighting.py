@@ -105,3 +105,64 @@ def light_gbuffer(
     if active_tex_slots is not None:
         return img, tex_overflow
     return img
+
+
+def cutout_alpha_pass(
+    gbuf: D.GBuffer,
+    materials: PbrMaterialTable,
+    textures,
+    active_tex_slots,
+    hw,
+    *,
+    tex_pair_cap: int = 16,
+    interpret: bool = False,
+):
+    """Per-pixel cutout alpha test over a (padded) G-buffer: True where the
+    pixel's fragment survives (alpha >= cutoff, or the material has no
+    cutoff). The deferred-path equivalent of the reference's per-fragment
+    discard (depth.wgsl:105-124); used by the cutout depth-peel loop.
+    Returns ((H, W) bool, tex pair overflow)."""
+    from .shade import PBR_ALPHA_CUTOUT, PBR_UVT0, TEX_ALBEDO, albedo_alpha
+
+    H, W = hw
+    CH = gbuf.data.shape[0]
+    N = H * W
+    g = gbuf.data.reshape(CH, N)
+    den = g[D.G_DEN]
+    inv_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
+
+    def ch(off, n):
+        return (g[off : off + n] * inv_den[None]).T
+
+    uv0 = ch(D.G_UV0, 2)
+    vcol = ch(D.G_COL, 4)
+    midx = jnp.clip(jnp.round(g[D.G_MAT]).astype(jnp.int32), 0, materials.data.shape[0] - 1)
+    mdata = _onehot_lookup(midx, materials.data)
+    mflags = jnp.round(
+        _onehot_lookup(midx, materials.flags[:, None].astype(jnp.float32))[:, 0]
+    ).astype(jnp.int32)
+    cutoff = mdata[:, PBR_ALPHA_CUTOUT]
+
+    tex_a = None
+    overflow = jnp.int32(0)
+    if textures is not None and TEX_ALBEDO in tuple(active_tex_slots):
+        from . import texture as tex_ops
+
+        mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
+        uv_img = uv0.reshape(H, W, 2)
+        dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
+        dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
+        duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
+        coords = jnp.einsum(
+            "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
+        )[:, :2]
+        samples, overflow = tex_ops.sample_textures_grid(
+            textures, mtex, coords, duv, mflags, (H, W), (TEX_ALBEDO,),
+            pair_cap=tex_pair_cap, interpret=interpret,
+        )
+        tex_a = samples[TEX_ALBEDO][:, 3]
+
+    alpha = albedo_alpha(mdata, mflags, vcol, tex_a)
+    ok = (cutoff <= 0.0) | (alpha >= cutoff)
+    return ok.reshape(H, W), overflow

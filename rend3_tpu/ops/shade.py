@@ -613,3 +613,14 @@ def _shade_pixels(
     out_rgb = jnp.where(unlit, albedo[:, :3], lit_rgb)
     out_a = jnp.where(unlit, albedo[:, 3:4], lit_a)
     return out_rgb, out_a
+
+
+def albedo_alpha(mdata, mflags, vcol, tex_a):
+    """Alpha channel of get_pixel_data's albedo (opaque.wgsl
+    get_pixel_data_inner) for the cutout discard (depth.wgsl:105-124,
+    opaque.wgsl:231): texture alpha x vertex-color alpha (when blended) x
+    factor alpha. tex_a: sampled albedo texture alpha (N,) or None."""
+    a = jnp.ones_like(vcol[:, 3]) if tex_a is None else tex_a
+    a = jnp.where(_flag(mflags, MF.ALBEDO_BLEND), a * vcol[:, 3], a)
+    a = jnp.where(_flag(mflags, MF.ALBEDO_ACTIVE), a, 1.0)
+    return a * mdata[:, PBR_ALBEDO + 3]

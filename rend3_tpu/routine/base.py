@@ -136,6 +136,9 @@ class BaseRenderGraph:
         # prepass renders the predicted set depth-only this frame, so
         # anything culled against it is genuinely hidden this frame).
         self.occlusion_culling = True
+        # Cutout depth-peel passes per frame (exact for up to this many
+        # stacked alpha-failed cutout layers per pixel).
+        self.cutout_peels = 2
         self._prev_visible_mask = None
         # Adaptive survivor-table capacities (the reference's pow2-growing
         # culling output buffers, culling/suballoc.rs): the cull compaction
@@ -354,6 +357,16 @@ class BaseRenderGraph:
         if textures is not None:
             host_tex = r.material_manager.archetypes[arch].textures
             active_tex_slots = tuple(int(q) for q in np.nonzero(host_tex.any(axis=0))[0])
+        # Cutout (alpha-tested) triangles: objects whose material has a
+        # nonzero alpha cutoff render through the depth-peel loop
+        # (ref depth.wgsl:105-124 discard).
+        host_mdata = r.material_manager.archetypes[arch].data
+        cutout_mat = host_mdata[:, shade_ops.PBR_ALPHA_CUTOUT] > 0.0
+        obj_cut = np.zeros(ocap, bool)
+        obj_cut[: om.cap] = cutout_mat[np.clip(om.material_slots, 0, len(cutout_mat) - 1)]
+        cutout_tri = (tri_obj >= 0) & obj_cut[np.clip(tri_obj, 0, ocap - 1)]
+        has_cutout = bool(cutout_tri.any())
+        cutout_peels = self.cutout_peels if has_cutout else 0
         self._last_caps = (main_cap, shadow_cap)
         key = (
             target.width,
@@ -372,6 +385,7 @@ class BaseRenderGraph:
             tmul_shadow,
             active_tex_slots,
             tex_pair_cap,
+            cutout_peels,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -415,6 +429,7 @@ class BaseRenderGraph:
             cube_textures,
             np.int32(skybox_slot + 1) if skybox_slot is not None else np.int32(0),
             prev_mask,
+            jnp.asarray(cutout_tri),
         )
         return program, args
 
@@ -423,7 +438,7 @@ class BaseRenderGraph:
     def _build_program(self, key):
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
-         active_tex_slots, tex_pair_cap) = key
+         active_tex_slots, tex_pair_cap, cutout_peels) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -452,6 +467,7 @@ class BaseRenderGraph:
             cube_textures,
             skybox_slot,
             prev_mask,
+            cutout_tri,
         ):
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
@@ -528,13 +544,22 @@ class BaseRenderGraph:
                 hp = _round_up(height, def_ops.DTILE_H)
 
                 hiz_pyramid = None
+                # Cutout triangles render via the depth-peel loop below; the
+                # main raster and the occlusion prepass are opaque-only (a
+                # solid prepass of alpha-tested geometry would over-cull what
+                # shows through its transparent texels).
+                cmask = None
+                opaque_valid = clipped.valid
+                if cutout_peels:
+                    cmask = cutout_tri[jnp.clip(clipped.orig, 0, cutout_tri.shape[0] - 1)]
+                    opaque_valid = clipped.valid & ~cmask
                 if occlusion:
                     # Phase 1 (reference two-phase culling, base.rs:155-172):
                     # rasterize last frame's predicted-visible set depth-only,
                     # build the Hi-Z min pyramid, then occlusion-cull below.
                     from ..ops import hi_z as hiz_ops
 
-                    pvalid = clipped.valid & prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
+                    pvalid = opaque_valid & prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
                     ptris = geom_ops.cull_and_setup(
                         clipped.clip, pvalid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
@@ -552,7 +577,7 @@ class BaseRenderGraph:
                     hiz_pyramid = hiz_ops.build_pyramid(pdepth)
 
                 tris = geom_ops.cull_and_setup(
-                    clipped.clip, clipped.valid, width, height,
+                    clipped.clip, opaque_valid, width, height,
                     cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
                     hiz=hiz_pyramid, hiz_interpret=interp, cap=main_cap,
                 )
@@ -589,6 +614,54 @@ class BaseRenderGraph:
                 )
                 main_count = tris.count
                 bin_overflows.append(band_ovf)
+
+                if cutout_peels:
+                    # Cutout (alpha-test) depth peeling: raster the cutout
+                    # subset front-to-back, exact per-pixel albedo-alpha test
+                    # (ref depth.wgsl discard), accept the first passing
+                    # fragment nearer than the opaque result.
+                    tris_c = geom_ops.cull_and_setup(
+                        clipped.clip, clipped.valid & cmask, width, height,
+                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
+                        subpixel=True, hiz=hiz_pyramid, hiz_interpret=interp,
+                        cap=main_cap,
+                    )
+                    planes_c = def_ops.attribute_planes(
+                        tris_c, clipped.clip, clipped.bary, clipped.orig,
+                        tri_vlocal, tri_obj, bases, geo, mv, material_slots,
+                        width, height,
+                    )
+                    binned_c = geom_ops.bin_triangles(
+                        tris_c, wp, hp,
+                        tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                    )
+                    acc = gbuf_p.data
+                    odepth = gbuf_p.data[def_ops.G_DEPTH]
+                    done = jnp.zeros((hp, wp), bool)
+                    bound_img = None
+                    for _peel in range(cutout_peels):
+                        gbuf_c, ovf_c = def_ops.raster_resolve(
+                            tris_c, planes_c, binned_c, wp, hp, bound=bound_img,
+                            interpret=interp, flat_mult=tmul_main,
+                        )
+                        bin_overflows.append(ovf_c)
+                        pass_img, tex_ovf = light_ops.cutout_alpha_pass(
+                            gbuf_c, materials, textures if has_tex else None,
+                            active_tex_slots, (hp, wp),
+                            tex_pair_cap=tex_pair_cap, interpret=interp,
+                        )
+                        tex_pair_overflows.append(tex_ovf)
+                        chit = gbuf_c.data[def_ops.G_HIT] > 0.0
+                        cdepth = gbuf_c.data[def_ops.G_DEPTH]
+                        nearer = cdepth > odepth
+                        replace = ~done & chit & pass_img & nearer
+                        acc = jnp.where(replace[None], gbuf_c.data, acc)
+                        done = done | ~chit | (chit & pass_img) | (chit & ~nearer)
+                        bound_img = jnp.where(done, 0.0, cdepth)
+                    gbuf_p = def_ops.GBuffer(data=acc)
+                    main_count = main_count + tris_c.count
+
                 if _DEBUG_STOP_AFTER == "gbuf":
                     return gbuf_p.data
 
