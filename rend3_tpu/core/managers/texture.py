@@ -70,7 +70,17 @@ class TextureManager:
         f = _decode_to_linear_f32(tex)
         if self.kind == "cube":
             assert f.ndim == 4 and f.shape[0] == 6, "cube texture needs (6, H, W, 4) data"
-            self.data[idx] = InternalTexture(size=(f.shape[1], f.shape[2]), mips=[f])
+            if tex.mip_count == MipmapCount.MAXIMUM:
+                levels = int(max(f.shape[1], f.shape[2])).bit_length()
+            elif isinstance(tex.mip_count, int):
+                levels = tex.mip_count
+            else:
+                levels = 1
+            # Per-face box mip chain, stacked back to (6, h, w, 4) per level
+            # (reference generates cube mips face-by-face the same way).
+            chains = [_mip_chain(f[i], levels) for i in range(6)]
+            mips = [np.stack([chains[i][l] for i in range(6)]) for l in range(levels)]
+            self.data[idx] = InternalTexture(size=(f.shape[1], f.shape[2]), mips=mips)
         else:
             h, w = f.shape[0], f.shape[1]
             if tex.mip_count == MipmapCount.MAXIMUM:
@@ -80,6 +90,17 @@ class TextureManager:
             else:
                 levels = 1
             self.data[idx] = InternalTexture(size=(h, w), mips=_mip_chain(f, levels))
+        self.dirty = True
+
+    def add_from(self, idx: int, src_idx: int, start_mip: int, mip_count) -> None:
+        """New texture as a mip-range view of another
+        (reference: rend3/src/managers/texture.rs:198-242 TextureFromTexture;
+        a GPU blit there, a mip-list slice here)."""
+        src = self.data[src_idx]
+        end = len(src.mips) if mip_count is None else start_mip + mip_count
+        mips = [m.copy() for m in src.mips[start_mip:end]]
+        assert mips, "TextureFromTexture: empty mip range"
+        self.data[idx] = InternalTexture(size=(mips[0].shape[0], mips[0].shape[1]), mips=mips)
         self.dirty = True
 
     def remove(self, idx: int) -> None:

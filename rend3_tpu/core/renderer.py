@@ -138,6 +138,16 @@ class Renderer:
         self.instructions.push(InstructionKind.ADD_TEXTURE_2D, (handle.idx, texture))
         return handle
 
+    def add_texture_2d_from_texture(self, tft) -> ResourceHandle:
+        """New 2D texture from a mip range of an existing one
+        (reference: rend3/src/renderer/mod.rs:203)."""
+        handle = self._handle("texture2d", InstructionKind.DELETE_TEXTURE_2D)
+        self.instructions.push(
+            InstructionKind.ADD_TEXTURE_2D_FROM_TEXTURE,
+            (handle.idx, tft.src.idx, tft.start_mip, tft.mip_count),
+        )
+        return handle
+
     def add_texture_cube(self, texture: Texture) -> ResourceHandle:
         handle = self._handle("texturecube", InstructionKind.DELETE_TEXTURE_CUBE)
         self.instructions.push(InstructionKind.ADD_TEXTURE_CUBE, (handle.idx, texture))
@@ -185,9 +195,19 @@ class Renderer:
 
     def set_skeleton_joint_matrices(self, handle: ResourceHandle, joint_matrices) -> None:
         self.instructions.push(
-            InstructionKind.SET_SKELETON_JOINT_MATRICES,
+            InstructionKind.SET_SKELETON_JOINT_DELTAS,
             (handle.idx, np.asarray(joint_matrices, dtype=np.float32).reshape(-1, 4, 4)),
         )
+
+    def set_skeleton_joint_transforms(
+        self, handle: ResourceHandle, joint_global_transforms, inverse_bind_matrices
+    ) -> None:
+        """Set joints from global transforms + inverse bind matrices
+        (reference: rend3/src/renderer/mod.rs:314-323: matrices =
+        global_transform * inverse_bind)."""
+        g = np.asarray(joint_global_transforms, dtype=np.float32).reshape(-1, 4, 4)
+        ib = np.asarray(inverse_bind_matrices, dtype=np.float32).reshape(-1, 4, 4)
+        self.set_skeleton_joint_matrices(handle, g @ ib)
 
     def add_directional_light(self, light: DirectionalLight) -> ResourceHandle:
         handle = self._handle("dirlight", InstructionKind.DELETE_DIRECTIONAL_LIGHT)
@@ -234,6 +254,8 @@ class Renderer:
                 self.skeleton_manager.add(p[0], p[1], self.mesh_manager)
             elif kind == K.ADD_TEXTURE_2D:
                 self.d2_texture_manager.add(p[0], p[1])
+            elif kind == K.ADD_TEXTURE_2D_FROM_TEXTURE:
+                self.d2_texture_manager.add_from(p[0], p[1], p[2], p[3])
             elif kind == K.ADD_TEXTURE_CUBE:
                 self.d2c_texture_manager.add(p[0], p[1])
             elif kind == K.ADD_MATERIAL:
@@ -259,7 +281,7 @@ class Renderer:
                 )
             elif kind == K.SET_OBJECT_TRANSFORM:
                 self.object_manager.set_transform(p[0], p[1])
-            elif kind == K.SET_SKELETON_JOINT_MATRICES:
+            elif kind in (K.SET_SKELETON_JOINT_MATRICES, K.SET_SKELETON_JOINT_DELTAS):
                 self.skeleton_manager.set_joint_matrices(p[0], p[1])
             elif kind == K.ADD_DIRECTIONAL_LIGHT:
                 self.directional_light_manager.add(p[0], p[1])

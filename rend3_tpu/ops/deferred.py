@@ -292,6 +292,10 @@ def raster_depth(
     flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult)
     bset = tris.setup[jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)]  # (cap, W)
     st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=1)
+    # Materialize the packed tables once: XLA otherwise re-derives parts of
+    # the pack/step chain inside each consumer fusion of the big frame
+    # program (in-frame stage cost measured 2-3x the standalone op).
+    flat, bset, st, sk, sc = jax.lax.optimization_barrier((flat, bset, st, sk, sc))
     depth = _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret)
     return depth, flat.overflow
 
@@ -413,6 +417,10 @@ def raster_resolve(
     bset = tris.setup[gi]      # (cap, SETUP_W)
     bplanes = planes[gi]       # (cap, PLANES_W)
     st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=2)
+    # Materialize once (see raster_depth).
+    flat, bset, bplanes, st, sk, sc = jax.lax.optimization_barrier(
+        (flat, bset, bplanes, st, sk, sc)
+    )
 
     npb = BAND_H * DTILE_W
     if bound is not None:

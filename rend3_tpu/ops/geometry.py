@@ -20,7 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TriSetup", "BinnedTris", "cull_and_setup", "bin_triangles", "TILE_H", "TILE_W"]
+__all__ = ["TriSetup", "BinnedTris", "cull_and_setup", "visibility_mask", "bin_triangles", "TILE_H", "TILE_W"]
 
 TILE_H = 8
 TILE_W = 128
@@ -93,25 +93,14 @@ def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray
     return ids, counts.astype(jnp.int32)
 
 
-def cull_and_setup(
-    clip: jnp.ndarray,       # (T, 3, 4) clipped triangles
-    valid: jnp.ndarray,      # (T,) bool
-    width: int,
-    height: int,
-    *,
-    cull_mode: int,
-    front_is_cw: bool,
-    cap: Optional[int] = None,
-    subpixel: bool = False,
-    hiz: Optional[jnp.ndarray] = None,  # optional (levels...) pyramid, see hi_z.py
-    hiz_mips=None,
-    hiz_interpret: bool = False,
-) -> TriSetup:
-    """Cull, compute edge/depth planes, compact. cap defaults to T."""
+def _screen_tests(
+    clip, valid, width, height, *, cull_mode, front_is_cw, subpixel,
+    hiz=None, hiz_interpret=False,
+):
+    """Shared culling tests (cull.wgsl): degenerate/backface/frustum/
+    sub-pixel and the optional Hi-Z occlusion query. Returns
+    (keep, x, y, z, area2, bbox mins/maxs)."""
     from .raster import CullMode, _top_left
-
-    T = clip.shape[0]
-    cap = cap or T
 
     w = clip[..., 3]
     inv_w = 1.0 / jnp.where(w == 0.0, 1.0, w)
@@ -148,10 +137,59 @@ def cull_and_setup(
         # Query only triangles that survived every other cull: the MXU
         # sampler's pair lists (and so its cost) scale with live queries.
         occluded = hiz_ops.occlusion_test(
-            hiz, hiz_mips, xmin, ymin, xmax, ymax, z.max(axis=1), width, height,
+            hiz, None, xmin, ymin, xmax, ymax, z.max(axis=1), width, height,
             live=keep, interpret=hiz_interpret,
         )
         keep = keep & ~occluded
+    return keep, x, y, z, area2
+
+
+def visibility_mask(
+    clip, valid, width, height, *, cull_mode, front_is_cw, subpixel,
+    hiz, hiz_interpret=False,
+):
+    """Per-row potentially-visible mask: the same tests as cull_and_setup
+    including the Hi-Z occlusion query, without building a setup table.
+    Drives the two-phase predicted-visible set (cull.wgsl phase-2 result
+    stores): next frame predicts exactly the rows that pass against this
+    frame's occluder depth."""
+    keep, *_ = _screen_tests(
+        clip, valid, width, height, cull_mode=cull_mode,
+        front_is_cw=front_is_cw, subpixel=subpixel, hiz=hiz,
+        hiz_interpret=hiz_interpret,
+    )
+    return keep
+
+
+def cull_and_setup(
+    clip: jnp.ndarray,       # (T, 3, 4) clipped triangles
+    valid: jnp.ndarray,      # (T,) bool
+    width: int,
+    height: int,
+    *,
+    cull_mode: int,
+    front_is_cw: bool,
+    cap: Optional[int] = None,
+    subpixel: bool = False,
+    hiz: Optional[jnp.ndarray] = None,  # optional (levels...) pyramid, see hi_z.py
+    hiz_mips=None,
+    hiz_interpret: bool = False,
+) -> TriSetup:
+    """Cull, compute edge/depth planes, compact. cap defaults to T."""
+    from .raster import CullMode, _top_left
+
+    T = clip.shape[0]
+    cap = cap or T
+
+    keep, x, y, z, area2 = _screen_tests(
+        clip, valid, width, height, cull_mode=cull_mode,
+        front_is_cw=front_is_cw, subpixel=subpixel, hiz=hiz,
+        hiz_interpret=hiz_interpret,
+    )
+    xmin = x.min(axis=1)
+    xmax = x.max(axis=1)
+    ymin = y.min(axis=1)
+    ymax = y.max(axis=1)
 
     # Orient: ensure positive area for uniform edge tests. Column swaps via
     # static slices (take_along_axis lowers to scalar gathers on TPU).
@@ -202,6 +240,7 @@ def cull_and_setup(
     ids, count = _compact(keep, cap)
     g = jnp.clip(ids, 0, T - 1)
 
+
     # Assemble the full-width row table FIRST, then compact with ONE
     # contiguous row-gather (per-column scalar gathers cost ~10 cycles per
     # element on TPU and dominated this pass at scale).
@@ -226,7 +265,14 @@ def cull_and_setup(
     bbox = jnp.where(
         live[:, None], pre_bbox[g], jnp.array([1e9, 1e9, -1e9, -1e9], jnp.float32)
     )
-    return TriSetup(setup=setup, bbox=bbox, count=count, src=g, flip=flip[g])
+    # Materialize once: the setup table feeds binning, packing, gathers and
+    # the raster kernels; letting XLA fuse this producer into each consumer
+    # re-runs the whole cull chain per consumer (composed-stage timings
+    # measured ~4x the isolated op without this).
+    return jax.tree_util.tree_map(
+        jax.lax.optimization_barrier,
+        TriSetup(setup=setup, bbox=bbox, count=count, src=g, flip=flip[g]),
+    )
 
 
 def bin_triangles(
@@ -285,7 +331,10 @@ def bin_triangles(
     ids = jnp.where(ids2 >= 0, row_ids[rr[:, None], jnp.clip(ids2, 0, row_cap - 1)], -1)
 
     overflow = jnp.maximum(counts - tile_cap, 0).sum()
-    return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)
+    return jax.tree_util.tree_map(
+        jax.lax.optimization_barrier,
+        BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow),
+    )
 
 
 class FlatChunks(NamedTuple):

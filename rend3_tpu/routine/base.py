@@ -180,7 +180,9 @@ class BaseRenderGraph:
         if a capacity changed (the frame dropped geometry and must
         re-render). aux layout: [main_count, shadow_count_max,
         main_bin_overflow, shadow_bin_overflow, pair_overflow]."""
-        main_cap, shadow_cap = self._last_caps
+        main_cap, shadow_cap, resid_cap = (
+            self._last_caps if len(self._last_caps) == 3 else (*self._last_caps, 1 << 30)
+        )
         grew = False
         if counts[0] > main_cap:
             self._caps["main"] = _pad_pow2(int(counts[0]), minimum=4096)
@@ -197,12 +199,16 @@ class BaseRenderGraph:
         if len(counts) > 5 and counts[5] > 0 and self._caps.get("tex_pair", 16) < 256:
             self._caps["tex_pair"] = self._caps.get("tex_pair", 16) * 2
             grew = True
+        if len(counts) > 6 and counts[6] > resid_cap:
+            self._caps["resid"] = _pad_pow2(int(counts[6]), minimum=4096)
+            grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
             "shadow_survivors": int(counts[1]),
             "bin_overflow": int(counts[2]) + int(counts[3]),
             "sample_pair_overflow": int(counts[4]),
             "tex_pair_overflow": int(counts[5]) if len(counts) > 5 else 0,
+            "resid_survivors": int(counts[6]) if len(counts) > 6 else 0,
         }
         if self.last_stats["bin_overflow"]:
             import logging
@@ -348,6 +354,7 @@ class BaseRenderGraph:
         ctable = tcap + 3 * min(1024, tcap)  # post-clip table size (clip_triangles)
         main_cap = self._survivor_cap("main", ctable)
         shadow_cap = self._survivor_cap("shadow", ctable)
+        resid_cap = min(self._caps.setdefault("resid", 4096), ctable)
         tmul_main = self._caps.setdefault("tile_main_mult", 1)
         tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
         tex_pair_cap = self._caps.setdefault("tex_pair", 16)
@@ -367,7 +374,7 @@ class BaseRenderGraph:
         cutout_tri = (tri_obj >= 0) & obj_cut[np.clip(tri_obj, 0, ocap - 1)]
         has_cutout = bool(cutout_tri.any())
         cutout_peels = self.cutout_peels if has_cutout else 0
-        self._last_caps = (main_cap, shadow_cap)
+        self._last_caps = (main_cap, shadow_cap, resid_cap)
         key = (
             target.width,
             target.height,
@@ -386,6 +393,7 @@ class BaseRenderGraph:
             active_tex_slots,
             tex_pair_cap,
             cutout_peels,
+            resid_cap,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -438,7 +446,7 @@ class BaseRenderGraph:
     def _build_program(self, key):
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
-         active_tex_slots, tex_pair_cap, cutout_peels) = key
+         active_tex_slots, tex_pair_cap, cutout_peels, resid_cap) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -475,6 +483,7 @@ class BaseRenderGraph:
             # Capacity/overflow counters surfaced to the host (render_frame
             # grows survivor caps and re-renders on overflow).
             main_count = jnp.int32(0)
+            resid_count = jnp.int32(0)
             shadow_counts = []
             bin_overflows = []
             shadow_bin_overflows = []
@@ -543,77 +552,99 @@ class BaseRenderGraph:
                 wp = _round_up(width, def_ops.DTILE_W)
                 hp = _round_up(height, def_ops.DTILE_H)
 
-                hiz_pyramid = None
                 # Cutout triangles render via the depth-peel loop below; the
-                # main raster and the occlusion prepass are opaque-only (a
-                # solid prepass of alpha-tested geometry would over-cull what
-                # shows through its transparent texels).
+                # opaque raster passes (and so the Hi-Z occluder depth) carry
+                # only opaque triangles (a solid depth of alpha-tested
+                # geometry would over-cull what shows through its transparent
+                # texels).
                 cmask = None
                 opaque_valid = clipped.valid
                 if cutout_peels:
                     cmask = cutout_tri[jnp.clip(clipped.orig, 0, cutout_tri.shape[0] - 1)]
                     opaque_valid = clipped.valid & ~cmask
-                if occlusion:
-                    # Phase 1 (reference two-phase culling, base.rs:155-172):
-                    # rasterize last frame's predicted-visible set depth-only,
-                    # build the Hi-Z min pyramid, then occlusion-cull below.
-                    from ..ops import hi_z as hiz_ops
+                n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
 
-                    pvalid = opaque_valid & prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
-                    ptris = geom_ops.cull_and_setup(
-                        clipped.clip, pvalid, width, height,
-                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
-                        cap=main_cap,
-                    )
-                    n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
-                    pbinned = geom_ops.bin_triangles(
-                        ptris, wp, hp,
-                        tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
-                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
-                    )
-                    # Band overflow here only weakens culling (farther Hi-Z
-                    # depth), never correctness — no counter needed.
-                    pdepth, _povf = def_ops.raster_depth(ptris, pbinned, wp, hp, interpret=interp, flat_mult=tmul_main)
-                    hiz_pyramid = hiz_ops.build_pyramid(pdepth)
-
-                tris = geom_ops.cull_and_setup(
-                    clipped.clip, opaque_valid, width, height,
-                    cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw, subpixel=True,
-                    hiz=hiz_pyramid, hiz_interpret=interp, cap=main_cap,
-                )
-                tris = jax.lax.optimization_barrier(tris)
-                if _DEBUG_STOP_AFTER == "cull":
-                    return tris.setup, tris.bbox, tris.count
-                if occlusion:
-                    # Next frame's predicted set = this frame's cull survivors
-                    # (the per-workgroup culling-result store of cull.wgsl).
-                    live = jnp.arange(tris.setup.shape[0]) < tris.count
-                    orig_ids = clipped.orig[tris.src]
-                    new_mask = (
+                def rows_to_tri_mask(rows):
+                    return (
                         jnp.zeros(prev_mask.shape[0], bool)
-                        .at[jnp.where(live, orig_ids, prev_mask.shape[0])]
+                        .at[jnp.where(rows, clipped.orig, prev_mask.shape[0])]
                         .set(True, mode="drop")
                     )
-                planes = def_ops.attribute_planes(
-                    tris, clipped.clip, clipped.bary, clipped.orig,
-                    tri_vlocal, tri_obj, bases, geo, mv, material_slots, width, height,
-                )
-                planes = jax.lax.optimization_barrier(planes)
-                if _DEBUG_STOP_AFTER == "planes":
-                    return planes, tris.count
-                n_tiles_d = (wp // def_ops.DTILE_W) * (hp // def_ops.DTILE_H)
-                binned = geom_ops.bin_triangles(
-                    tris, wp, hp,
-                    tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
-                    tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
-                )
-                if _DEBUG_STOP_AFTER == "geom":
-                    return planes, binned.counts, tris.count
-                gbuf_p, band_ovf = def_ops.raster_resolve(
-                    tris, planes, binned, wp, hp, interpret=interp, flat_mult=tmul_main
-                )
-                main_count = tris.count
-                bin_overflows.append(band_ovf)
+
+                def raster_pass(pass_valid, hiz_p, cap):
+                    t = geom_ops.cull_and_setup(
+                        clipped.clip, pass_valid, width, height,
+                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
+                        subpixel=True, hiz=hiz_p, hiz_interpret=interp, cap=cap,
+                    )
+                    t = jax.lax.optimization_barrier(t)
+                    p = def_ops.attribute_planes(
+                        t, clipped.clip, clipped.bary, clipped.orig,
+                        tri_vlocal, tri_obj, bases, geo, mv, material_slots,
+                        width, height,
+                    )
+                    p = jax.lax.optimization_barrier(p)
+                    b = geom_ops.bin_triangles(
+                        t, wp, hp,
+                        tile_cap=min(cap, _tile_cap_for(cap, n_tiles_d) * tmul_main),
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                    )
+                    g, ovf = def_ops.raster_resolve(
+                        t, p, b, wp, hp, interpret=interp, flat_mult=tmul_main
+                    )
+                    return t, def_ops.GBuffer(data=jax.lax.optimization_barrier(g.data)), ovf
+
+                hiz_pyramid = None
+                if occlusion:
+                    # Reference two-phase culling (base.rs:155-172, cull.wgsl
+                    # :243-324), deferred-style: phase 1 renders last frame's
+                    # predicted-visible set FOR REAL, its depth becomes the
+                    # Hi-Z occluder pyramid, and only the residual set (not
+                    # predicted) is occlusion-tested and composited on top by
+                    # depth. No separate prepass raster exists.
+                    from ..ops import hi_z as hiz_ops
+
+                    pm = prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
+                    tris, gbuf_p, ovf1 = raster_pass(opaque_valid & pm, None, main_cap)
+                    bin_overflows.append(ovf1)
+                    hiz_pyramid = jax.lax.optimization_barrier(
+                        hiz_ops.build_pyramid(gbuf_p.data[def_ops.G_DEPTH])
+                    )
+                    # Test ALL opaque candidates against the new occluder
+                    # depth (cull.wgsl phase-2 result stores): the passers
+                    # are next frame's predicted set; the non-predicted
+                    # passers composite on top of phase 1 by depth.
+                    vis_rows = geom_ops.visibility_mask(
+                        clipped.clip, opaque_valid, width, height,
+                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
+                        subpixel=True, hiz=hiz_pyramid, hiz_interpret=interp,
+                    )
+                    tris_r, gbuf_r, ovf2 = raster_pass(
+                        vis_rows & ~pm, None, resid_cap
+                    )
+                    bin_overflows.append(ovf2)
+                    if _DEBUG_STOP_AFTER == "gbuf_r":
+                        return gbuf_r.data, tris_r.count
+                    # Merge on hit flags, not bare depth: reverse-Z depth 0.0
+                    # is a VALID farthest-plane fragment, indistinguishable
+                    # from the cleared buffer by value alone.
+                    hit_1 = gbuf_p.data[def_ops.G_HIT] > 0.0
+                    hit_r = gbuf_r.data[def_ops.G_HIT] > 0.0
+                    take_r = hit_r & (
+                        ~hit_1 | (gbuf_r.data[def_ops.G_DEPTH] >= gbuf_p.data[def_ops.G_DEPTH])
+                    )
+                    gbuf_p = def_ops.GBuffer(
+                        data=jnp.where(take_r[None], gbuf_r.data, gbuf_p.data)
+                    )
+                    new_mask = rows_to_tri_mask(vis_rows)
+                    main_count = tris.count
+                    resid_count = tris_r.count
+                else:
+                    tris, gbuf_p, ovf1 = raster_pass(opaque_valid, None, main_cap)
+                    bin_overflows.append(ovf1)
+                    main_count = tris.count
+                if _DEBUG_STOP_AFTER == "gbuf":
+                    return gbuf_p.data
 
                 if cutout_peels:
                     # Cutout (alpha-test) depth peeling: raster the cutout
@@ -654,7 +685,8 @@ class BaseRenderGraph:
                         tex_pair_overflows.append(tex_ovf)
                         chit = gbuf_c.data[def_ops.G_HIT] > 0.0
                         cdepth = gbuf_c.data[def_ops.G_DEPTH]
-                        nearer = cdepth > odepth
+                        ohit = gbuf_p.data[def_ops.G_HIT] > 0.0
+                        nearer = ~ohit | (cdepth > odepth)
                         replace = ~done & chit & pass_img & nearer
                         acc = jnp.where(replace[None], gbuf_c.data, acc)
                         done = done | ~chit | (chit & pass_img) | (chit & ~nearer)
@@ -686,7 +718,9 @@ class BaseRenderGraph:
                         )
 
                     world = mat_img(iv[:3, :3], 3, vp_img) + iv[:3, 3][:, None, None]
-                    world4 = jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
+                    world4 = jax.lax.optimization_barrier(
+                        jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
+                    )
 
                     svals = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
@@ -750,7 +784,7 @@ class BaseRenderGraph:
                     L = dir_lights.mask.shape[0]
                     while len(svals) < L:
                         svals.append(jnp.ones((hp, wp), jnp.float32))
-                    shadow_values = jnp.stack(svals)[:, :height, :width]
+                    shadow_values = jax.lax.optimization_barrier(jnp.stack(svals))[:, :height, :width]
 
                 if _DEBUG_STOP_AFTER == "shadow":
                     return shadow_values
@@ -840,6 +874,7 @@ class BaseRenderGraph:
                     sum(shadow_bin_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(tex_pair_overflows, jnp.int32(0)).astype(jnp.int32),
+                    resid_count,
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)

@@ -46,10 +46,14 @@ class FrameRenderSettings:
 
 @dataclass
 class Threshold:
-    """Pass criteria against a golden. `mae`/`ssim` bounds must both hold."""
+    """Pass criteria against a golden. `mae`/`ssim` bounds must both hold;
+    `flip` (optional) additionally bounds the mean FLIP perceptual error —
+    the metric the reference harness thresholds on
+    (rend3-test/src/runner.rs:244-258, utils/flip.py)."""
 
     mae: float = 0.01
     ssim: float = 0.98
+    flip: float = None
 
 
 def load_png(path: str) -> np.ndarray:
@@ -71,13 +75,23 @@ def save_png(path: str, img: np.ndarray) -> None:
 
 
 def compare_to_golden(test_img: np.ndarray, golden_path: str, threshold: Threshold, out_dir: str = "tests/output"):
+    if not os.path.exists(golden_path):
+        # Reference semantics (runner.rs:235-239): a missing golden is
+        # created from this render and the test passes.
+        save_png(golden_path, test_img)
+        return {"created": True}
     golden = load_png(golden_path)
     stats = compare_images(test_img[..., :3], golden)
     name = os.path.splitext(os.path.basename(golden_path))[0]
     os.makedirs(out_dir, exist_ok=True)
     save_png(os.path.join(out_dir, f"{name}-render.png"), test_img)
     ok = stats["mae"] <= threshold.mae and stats["ssim"] >= threshold.ssim
-    assert ok, f"golden mismatch vs {golden_path}: {stats} (threshold mae<={threshold.mae} ssim>={threshold.ssim})"
+    if threshold.flip is not None:
+        from .utils.flip import flip_mean
+
+        stats["flip"] = flip_mean(golden, test_img[..., :3])
+        ok = ok and stats["flip"] <= threshold.flip
+    assert ok, f"golden mismatch vs {golden_path}: {stats} (threshold mae<={threshold.mae} ssim>={threshold.ssim} flip<={threshold.flip})"
     return stats
 
 

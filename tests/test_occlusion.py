@@ -52,15 +52,16 @@ def test_occlusion_culls_hidden_and_keeps_image():
     runner.base_graph.occlusion_culling = True
     runner.base_graph._prev_visible_mask = None
     img_on1 = runner.render_frame(settings)   # frame 1: all-ones predicted mask
-    s_on1 = runner.base_graph.last_stats["main_survivors"]
     img_on2 = runner.render_frame(settings)   # frame 2: carried mask
-    s_on2 = runner.base_graph.last_stats["main_survivors"]
+    st = runner.base_graph.last_stats
+    s_on2 = st["main_survivors"] + st["resid_survivors"]
 
     assert s_off > 0
-    # The wall hides all 16 cubes: survivors must drop with culling on.
-    assert s_on1 < s_off, (s_on1, s_off)
-    assert s_on2 <= s_on1
-    # Culling must be image-neutral.
+    # Frame 1 predicts everything (reference two-phase semantics: the
+    # benefit starts once a carried mask exists). By frame 2 the wall hides
+    # all 16 cubes: total rastered triangles must drop.
+    assert s_on2 < s_off, (s_on2, s_off)
+    # Culling must be image-neutral on every frame.
     np.testing.assert_array_equal(img_on1, img_off)
     np.testing.assert_array_equal(img_on2, img_off)
     del keep
