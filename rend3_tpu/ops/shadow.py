@@ -580,6 +580,7 @@ def sample_shadow_map(
     sy: jnp.ndarray,     # (H, W)
     hit: jnp.ndarray,    # (H, W) bool
     *,
+    pair_cap: int = 32,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Occluder depth at the 12 PCF texel centers via the MXU gather kernel
@@ -594,7 +595,7 @@ def sample_shadow_map(
 
     bx = jnp.floor(sx - 0.5).astype(jnp.int32)
     by = jnp.floor(sy - 0.5).astype(jnp.int32)
-    return mg.sample_grid(smap, bx, by, hit, PCF_OFFSETS, interpret=interpret)
+    return mg.sample_grid(smap, bx, by, hit, PCF_OFFSETS, pair_cap=pair_cap, interpret=interpret)
 
 
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

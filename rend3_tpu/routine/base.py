@@ -199,8 +199,14 @@ class BaseRenderGraph:
         if len(counts) > 5 and counts[5] > 0 and self._caps.get("tex_pair", 16) < 256:
             self._caps["tex_pair"] = self._caps.get("tex_pair", 16) * 2
             grew = True
+        if counts[4] > 0 and self._caps.get("shadow_pair", 32) < 512:
+            self._caps["shadow_pair"] = self._caps.get("shadow_pair", 32) * 2
+            grew = True
         if len(counts) > 6 and counts[6] > resid_cap:
             self._caps["resid"] = _pad_pow2(int(counts[6]), minimum=4096)
+            grew = True
+        if len(counts) > 7 and counts[7] > 0 and self._caps.get("blend_peels", 4) < 16:
+            self._caps["blend_peels"] = self._caps.get("blend_peels", 4) * 2
             grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
@@ -301,16 +307,25 @@ class BaseRenderGraph:
             sc = eval_output.shadow_cameras[li]
             shadow_visible[k, : om.cap] = om.enabled & sc.world_frustum.contains_spheres(om.world_spheres)
 
-        # Material tables (single archetype for the frame program; the PBR
-        # archetype is ensured so empty scenes have a table).
+        # Material tables. Archetype storage is generic (reference:
+        # material.rs:78-101); the installed shading routine covers the
+        # PbrMaterial archetype, and — like the reference, where objects of
+        # an archetype with no registered routine simply don't draw —
+        # objects of other archetypes are excluded from this frame's
+        # visibility rather than erroring.
         from .pbr.material import PbrMaterial
 
         r.material_manager.ensure_archetype(PbrMaterial)
-        arch_names = [n for n, a in r.material_manager.archetypes.items() if a.next_slot > 0]
-        if len(arch_names) > 1:
-            raise NotImplementedError("multiple material archetypes per frame not yet supported")
-        arch = arch_names[0] if arch_names else "PbrMaterial"
+        arch = PbrMaterial.__name__
         mat_data, mat_flags, mat_tex = r.material_manager.evaluate(arch)
+        foreign_arch = any(
+            n != arch and a.next_slot > 0 for n, a in r.material_manager.archetypes.items()
+        )
+        if foreign_arch:
+            for oidx, rec in om.data.items():
+                if rec.material_arch != arch:
+                    visible[oidx] = False
+                    shadow_visible[:, oidx] = False
 
         textures = None
         if len(r.d2_texture_manager.data):
@@ -355,9 +370,11 @@ class BaseRenderGraph:
         main_cap = self._survivor_cap("main", ctable)
         shadow_cap = self._survivor_cap("shadow", ctable)
         resid_cap = min(self._caps.setdefault("resid", 4096), ctable)
+        blend_peels = self._caps.setdefault("blend_peels", 4) if len(blend) else 0
         tmul_main = self._caps.setdefault("tile_main_mult", 1)
         tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
         tex_pair_cap = self._caps.setdefault("tex_pair", 16)
+        shadow_pair_cap = self._caps.setdefault("shadow_pair", 32)
         # Static per-frame texture-slot usage: slots no material references
         # are never sampled (the WGSL equivalent would be a shader variant).
         active_tex_slots = ()
@@ -394,6 +411,8 @@ class BaseRenderGraph:
             tex_pair_cap,
             cutout_peels,
             resid_cap,
+            blend_peels,
+            shadow_pair_cap,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -446,7 +465,8 @@ class BaseRenderGraph:
     def _build_program(self, key):
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
-         active_tex_slots, tex_pair_cap, cutout_peels, resid_cap) = key
+         active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
+         shadow_pair_cap) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -484,6 +504,7 @@ class BaseRenderGraph:
             # grows survivor caps and re-renders on overflow).
             main_count = jnp.int32(0)
             resid_count = jnp.int32(0)
+            blend_deep_px = jnp.int32(0)
             shadow_counts = []
             bin_overflows = []
             shadow_bin_overflows = []
@@ -704,34 +725,13 @@ class BaseRenderGraph:
                     Lcap = dir_lights.mask.shape[0]
                     shadow_values = jnp.ones((Lcap, hp, wp), jnp.float32)[:, :height, :width]
                 else:
-                    gp = gbuf_p.data
-                    den = gp[def_ops.G_DEN]
-                    invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
-                    vp_img = gp[def_ops.G_VP : def_ops.G_VP + 3] * invden[None]  # (3, hp, wp)
-                    hitp = gp[def_ops.G_HIT] > 0.0
-                    iv = uniforms.inv_view
-
-                    def mat_img(m, rows, img):  # matrix x image channels, VPU
-                        cols = img.shape[0]
-                        return jnp.stack(
-                            [sum(m[a, b] * img[b] for b in range(cols)) for a in range(rows)]
-                        )
-
-                    world = mat_img(iv[:3, :3], 3, vp_img) + iv[:3, 3][:, None, None]
-                    world4 = jax.lax.optimization_barrier(
-                        jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
-                    )
-
-                    svals = []
+                    # Rasterize each light's depth map ONCE (the reference's
+                    # shadow pass, base.rs shadow node); shadow VALUES are
+                    # then resolved per G-buffer (opaque once, and again per
+                    # blend peel at the transparent fragments' positions).
+                    smaps = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
                         svp = dir_lights.view_proj[k]
-                        ndc = mat_img(svp, 4, world4)
-                        ndcw = jnp.where(ndc[3] == 0.0, 1.0, ndc[3])
-                        ndc_xyz = ndc[:3] / ndcw[None]
-                        sx = (ndc_xyz[0] * 0.5 + 0.5) * size
-                        sy = (0.5 - ndc_xyz[1] * 0.5) * size
-                        ref = ndc_xyz[2]
-
                         _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
                         svalid = (tri_obj >= 0) & shadow_visible[k][jnp.maximum(tri_obj, 0)]
                         sclip = transform_ops.gather_tri_clip(
@@ -744,9 +744,6 @@ class BaseRenderGraph:
                             subpixel=True,  # sub-texel casters can't mark any texel center
                             cap=shadow_cap,
                         )
-                        # Rasterize the light's depth map once (the reference's
-                        # shadow pass, base.rs shadow node), then take the 12
-                        # PCF taps per screen pixel with the MXU gather kernel.
                         swp = _round_up(size, def_ops.DTILE_W)
                         shp = _round_up(size, def_ops.DTILE_H)
                         n_tiles_s = (swp // def_ops.DTILE_W) * (shp // def_ops.DTILE_H)
@@ -756,19 +753,47 @@ class BaseRenderGraph:
                             tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
                         )
                         smap, sband_ovf = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp, flat_mult=tmul_shadow)
-                        occ, soverflow = shadow_ops.sample_shadow_map(
-                            smap[:size, :size], sx, sy, hitp, interpret=interp
-                        )
+                        smaps.append(smap[:size, :size])
                         shadow_counts.append(stris.count)
                         shadow_bin_overflows.append(sband_ovf)
+
+                def mat_img(m, rows, img):  # matrix x image channels, VPU
+                    cols = img.shape[0]
+                    return jnp.stack(
+                        [sum(m[a, b] * img[b] for b in range(cols)) for a in range(rows)]
+                    )
+
+                def shadow_values_for(gbuf_full):
+                    """(L, hp, wp) shadow factors at a padded G-buffer's
+                    fragment positions: world reconstruct -> light NDC -> 12
+                    MXU PCF taps against the prebuilt maps, with the
+                    reference's atlas-space bounds expressions
+                    (opaque.wgsl:509-514, incl. the any() quirk)."""
+                    gp = gbuf_full.data
+                    den = gp[def_ops.G_DEN]
+                    invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
+                    vp_img = gp[def_ops.G_VP : def_ops.G_VP + 3] * invden[None]
+                    hitp = gp[def_ops.G_HIT] > 0.0
+                    iv = uniforms.inv_view
+                    world = mat_img(iv[:3, :3], 3, vp_img) + iv[:3, 3][:, None, None]
+                    world4 = jax.lax.optimization_barrier(
+                        jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
+                    )
+                    svals = []
+                    for k, (li, (ox, oy), size) in enumerate(plan):
+                        svp = dir_lights.view_proj[k]
+                        ndc = mat_img(svp, 4, world4)
+                        ndcw = jnp.where(ndc[3] == 0.0, 1.0, ndc[3])
+                        ndc_xyz = ndc[:3] / ndcw[None]
+                        sx = (ndc_xyz[0] * 0.5 + 0.5) * size
+                        sy = (0.5 - ndc_xyz[1] * 0.5) * size
+                        ref = ndc_xyz[2]
+                        occ, soverflow = shadow_ops.sample_shadow_map(
+                            smaps[k], sx, sy, hitp, pair_cap=shadow_pair_cap,
+                            interpret=interp,
+                        )
                         pair_overflows.append(soverflow)
                         pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
-
-                        # Reference bounds expressions (opaque.wgsl:509-514,
-                        # incl. the any() quirk AND its comparison of the
-                        # light-local flipped coords against ATLAS-space
-                        # borders) — identical to the forward path in
-                        # ops/shade.py so both backends match the reference.
                         flipped_x = ndc_xyz[0] * 0.5 + 0.5
                         flipped_y = ndc_xyz[1] * 0.5 + 0.5
                         border = dir_lights.inv_resolution[k] * 1.5
@@ -784,7 +809,10 @@ class BaseRenderGraph:
                     L = dir_lights.mask.shape[0]
                     while len(svals) < L:
                         svals.append(jnp.ones((hp, wp), jnp.float32))
-                    shadow_values = jax.lax.optimization_barrier(jnp.stack(svals))[:, :height, :width]
+                    return jax.lax.optimization_barrier(jnp.stack(svals))
+
+                if plan:
+                    shadow_values = shadow_values_for(gbuf_p)[:, :height, :width]
 
                 if _DEBUG_STOP_AFTER == "shadow":
                     return shadow_values
@@ -822,6 +850,82 @@ class BaseRenderGraph:
                 vis = raster_ops.VisBuffer(
                     depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
                 )
+
+                if blend_peels:
+                    # Transparent pass, deferred: per-pixel FRONT-to-back
+                    # depth peeling with under-compositing replaces the
+                    # per-triangle full-image scan (O(B*H*W)); exact for up
+                    # to blend_peels layers per pixel, and the last-peel hit
+                    # counter grows the peel count adaptively. Divergence
+                    # from the reference's object-sorted draws: intersecting
+                    # transparents composite in exact per-pixel depth order.
+                    bvalid = (blend_obj >= 0) & visible[jnp.maximum(blend_obj, 0)]
+                    bclip = transform_ops.gather_tri_clip(
+                        geo.position, blend_vlocal, blend_obj, bases[:, 0], mvp
+                    )
+                    bclipped = transform_ops.clip_triangles(bclip, bvalid)
+                    btable = bclipped.clip.shape[0]
+                    tris_b = geom_ops.cull_and_setup(
+                        bclipped.clip, bclipped.valid, width, height,
+                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
+                        subpixel=True, cap=btable,
+                    )
+                    planes_b = def_ops.attribute_planes(
+                        tris_b, bclipped.clip, bclipped.bary, bclipped.orig,
+                        blend_vlocal, blend_obj, bases, geo, mv, material_slots,
+                        width, height,
+                    )
+                    binned_b = geom_ops.bin_triangles(
+                        tris_b, wp, hp,
+                        tile_cap=min(btable, _tile_cap_for(btable, n_tiles_d) * tmul_main),
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                    )
+                    odepth_b = gbuf_p.data[def_ops.G_DEPTH]
+                    ohit_b = gbuf_p.data[def_ops.G_HIT] > 0.0
+                    C = jnp.zeros((hp, wp, 3), jnp.float32)
+                    A = jnp.zeros((hp, wp), jnp.float32)
+                    bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
+                    bound_b = None
+                    for _p in range(blend_peels):
+                        gbuf_b, ovf_b = def_ops.raster_resolve(
+                            tris_b, planes_b, binned_b, wp, hp, bound=bound_b,
+                            interpret=interp, flat_mult=tmul_main,
+                        )
+                        bin_overflows.append(ovf_b)
+                        bhit = (gbuf_b.data[def_ops.G_HIT] > 0.0) & (
+                            ~ohit_b | (gbuf_b.data[def_ops.G_DEPTH] >= odepth_b)
+                        )
+                        sv_b = shadow_values_for(gbuf_b) if plan else None
+                        if has_tex and active_tex_slots:
+                            rgba_b, tovf = light_ops.light_gbuffer(
+                                gbuf_b, materials, dir_lights, point_lights,
+                                shadow_atlas, uniforms, bg0, textures=textures,
+                                shadow_values=sv_b,
+                                active_tex_slots=active_tex_slots,
+                                tex_pair_cap=tex_pair_cap, interpret=interp,
+                            )
+                            tex_pair_overflows.append(tovf)
+                        else:
+                            rgba_b = light_ops.light_gbuffer(
+                                gbuf_b, materials, dir_lights, point_lights,
+                                shadow_atlas, uniforms, bg0,
+                                textures=textures if has_tex else None,
+                                shadow_values=sv_b,
+                            )
+                        a = rgba_b[..., 3] * bhit
+                        C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
+                        A = A + (1.0 - A) * a
+                        blend_deep_px = bhit.sum().astype(jnp.int32)
+                        bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
+                    Cc = C[:height, :width]
+                    Ac = A[:height, :width]
+                    img = jnp.concatenate(
+                        [
+                            Cc + (1.0 - Ac)[..., None] * img[0][..., :3],
+                            (Ac + (1.0 - Ac) * img[0][..., 3])[..., None],
+                        ],
+                        axis=-1,
+                    )[None]
             else:
                 vis = raster_scene(
                     clipped.clip,
@@ -854,8 +958,9 @@ class BaseRenderGraph:
                     background=background,
                 )
 
-            # ---- transparent pass (sorted, blended) ----
-            img = _blend_pass(
+            # ---- transparent pass (sorted, blended), forward paths ----
+            if not (use_deferred and blend_peels):
+                img = _blend_pass(
                 img, vis, blend_vlocal, blend_obj, visible, bases, mv, mvp,
                 material_slots, materials, dir_lights, point_lights, shadow_atlas,
                 uniforms, geo, width, height, sample_offsets, front_cw,
@@ -875,6 +980,7 @@ class BaseRenderGraph:
                     sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(tex_pair_overflows, jnp.int32(0)).astype(jnp.int32),
                     resid_count,
+                    blend_deep_px,
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)

@@ -231,3 +231,67 @@ def test_flip_metric_sanity():
     assert 0.0 < e_small < e_gross <= 1.0
     m = flip(img, gross)
     assert m.shape == (64, 64) and m.min() >= 0.0 and m.max() <= 1.0
+
+
+def test_multiple_material_archetypes_per_frame():
+    """Archetype-generic storage (reference material.rs:78-101): objects of
+    an archetype with no installed routine are skipped, not an error."""
+    import numpy as np
+    from rend3_tpu.testing import FrameRenderSettings, TestRunner
+    from rend3_tpu.types import Camera, Orthographic
+    from rend3_tpu.utils import math as m3
+    from rend3_tpu.types.material import Sorting
+    from rend3_tpu.types.attribute import POSITION
+
+    class FlatMaterial:
+        @classmethod
+        def required_attributes(cls):
+            return [POSITION]
+
+        @classmethod
+        def supported_attributes(cls):
+            return [POSITION]
+
+        @classmethod
+        def data_size(cls):
+            return 4
+
+        @classmethod
+        def texture_count(cls):
+            return 1
+
+        def key(self):
+            return 0
+
+        def sorting(self):
+            return Sorting.opaque()
+
+        def to_textures(self):
+            return [None]
+
+        def to_data(self):
+            return np.zeros(4, np.float32)
+
+        def to_flags(self):
+            return 0
+
+    runner = TestRunner()
+    pbr_mat = runner.add_lit_material([0.9, 0.2, 0.2, 1.0])
+    flat = runner.renderer.add_material(FlatMaterial())
+    keep = [
+        runner.plane(pbr_mat, m3.translation([-0.5, 0.0, 1.0]) @ m3.rotation_y(np.pi) @ m3.scale(0.4)),
+        runner.plane(flat, m3.translation([0.5, 0.0, 1.0]) @ m3.rotation_y(np.pi) @ m3.scale(0.4)),
+        runner.add_directional_light(np.array([0.0, 0.0, 1.0], np.float32)),
+    ]
+    runner.set_camera_data(
+        Camera(
+            projection=Orthographic(size=np.array([2.0, 2.0, 8.0], np.float32)),
+            view=m3.look_at_lh([0.0, 0.0, -2.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        )
+    )
+    img = runner.render_frame(FrameRenderSettings(size=64))
+    left = img[:, :32, 0]
+    right = img[:, 32:, 0]
+    assert (left > 30).any(), "PBR-archetype object must render"
+    assert not (right > 30).any(), "routine-less archetype object must be skipped"
+    del keep
