@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ...types import attribute as attr
@@ -80,6 +81,10 @@ class MeshManager:
         self.data: Dict[int, InternalMesh] = {}
         self._dirty = True
         self._device_geo: Optional[GeometryArrays] = None
+        # Sparse-update bookkeeping (reference: scatter_copy.rs dirty-slot
+        # scatters): per-arena dirty ranges; a resize forces a full upload.
+        self._dirty_ranges: dict = {}
+        self._resized = True
 
     # -- allocation -----------------------------------------------------------
 
@@ -98,6 +103,11 @@ class MeshManager:
             self._arenas[name] = grown
             self._allocs[name].grow(new_cap)
         self.vertex_cap = new_cap
+        self._dirty = True
+        self._resized = True
+
+    def _mark_dirty(self, name: str, start: int, count: int) -> None:
+        self._dirty_ranges.setdefault(name, []).append((start, start + count))
         self._dirty = True
 
     def _alloc_indices(self, count: int) -> int:
@@ -124,7 +134,7 @@ class MeshManager:
 
     def write_range(self, attr_name: str, start: int, data: np.ndarray) -> None:
         self._arenas[attr_name][start : start + len(data)] = data
-        self._dirty = True
+        self._mark_dirty(attr_name, start, len(data))
 
     def read_range(self, attr_name: str, start: int, count: int) -> np.ndarray:
         return self._arenas[attr_name][start : start + count]
@@ -144,6 +154,7 @@ class MeshManager:
                 continue
             start = self._alloc_attr(name, vc)
             self._arenas[name][start : start + vc] = np.asarray(data, dtype=np.float32)
+            self._mark_dirty(name, start, vc)
             internal.attr_ranges[name] = (start, vc)
 
         icount = len(mesh.indices)
@@ -185,16 +196,40 @@ class MeshManager:
 
     # -- device state ---------------------------------------------------------
 
+    _GEO_FIELDS = (
+        ("position", "position"),
+        ("normal", "normal"),
+        ("tangent", "tangent"),
+        ("uv0", "texture_coords_0"),
+        ("uv1", "texture_coords_1"),
+        ("color0", "color_0"),
+    )
+
     def evaluate(self) -> GeometryArrays:
-        """Upload dirty arenas; returns the device geometry pytree."""
-        if self._dirty or self._device_geo is None:
+        """Upload dirty arenas: full on first use / resize, else only the
+        dirty slot ranges are scattered into the resident device arenas
+        (reference: rend3/src/util/scatter_copy.rs:69-135 — the GPU
+        scatter-copy of changed slots; here jnp .at[range].set updates)."""
+        if self._device_geo is None or self._resized:
             self._device_geo = GeometryArrays(
-                position=jax.device_put(self._arenas["position"]),
-                normal=jax.device_put(self._arenas["normal"]),
-                tangent=jax.device_put(self._arenas["tangent"]),
-                uv0=jax.device_put(self._arenas["texture_coords_0"]),
-                uv1=jax.device_put(self._arenas["texture_coords_1"]),
-                color0=jax.device_put(self._arenas["color_0"]),
+                **{
+                    f: jax.device_put(self._arenas[a])
+                    for f, a in self._GEO_FIELDS
+                }
             )
-            self._dirty = False
+            self._resized = False
+        elif self._dirty:
+            upd = {}
+            for f, a in self._GEO_FIELDS:
+                ranges = self._dirty_ranges.get(a)
+                if not ranges:
+                    continue
+                arr = getattr(self._device_geo, f)
+                for s, e in ranges:
+                    arr = arr.at[s:e].set(jnp.asarray(self._arenas[a][s:e]))
+                upd[f] = arr
+            if upd:
+                self._device_geo = self._device_geo._replace(**upd)
+        self._dirty_ranges.clear()
+        self._dirty = False
         return self._device_geo

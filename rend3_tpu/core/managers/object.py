@@ -47,6 +47,10 @@ class ObjectManager:
         self.bases = np.full((self.cap, len(ATTR_ORDER)), -1, dtype=np.int32)
         self.world_spheres = np.zeros((self.cap, 4), dtype=np.float32)
         self.topology_dirty = True
+        # Bumped on any table mutation: build_frame_callable caches the
+        # device object tables against it (the reference scatters dirty
+        # slots, util/freelist/buffer.rs; a static scene re-uploads nothing).
+        self.version = 0
 
     def _ensure(self, idx: int) -> None:
         while idx >= self.cap:
@@ -99,6 +103,7 @@ class ObjectManager:
         self.data[idx] = rec
         self.transforms[idx] = obj.transform
         self.enabled[idx] = True
+        self.version += 1
         self.material_slots[idx] = mslot
         self.bases[idx] = bases
         self.world_spheres[idx] = rec.local_sphere.apply_transform(obj.transform).as_vec4()
@@ -108,16 +113,19 @@ class ObjectManager:
         rec = self.data[idx]
         rec.obj.transform = np.asarray(transform, dtype=np.float32).reshape(4, 4)
         self.transforms[idx] = rec.obj.transform
+        self.version += 1
         self.world_spheres[idx] = rec.local_sphere.apply_transform(rec.obj.transform).as_vec4()
 
     def duplicate(self, src_idx: int) -> Object:
         return self.data[src_idx].obj
 
     def disable(self, idx: int) -> None:
+        self.version += 1
         """First phase of deletion: hide but keep the slot for one frame."""
         self.enabled[idx] = False
 
     def remove(self, idx: int) -> None:
+        self.version += 1
         self.data.pop(idx, None)
         self.enabled[idx] = False
         self.topology_dirty = True

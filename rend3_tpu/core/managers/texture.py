@@ -65,6 +65,16 @@ class TextureManager:
         self.data: Dict[int, InternalTexture] = {}
         self.dirty = True
         self._device = None
+        # Incremental 2D-atlas state: pending slot adds are shelf-placed
+        # into the resident device atlas (jnp .at[].set) instead of
+        # rebuilding it; removes only clear the rect table (holes reclaim
+        # on the next forced full pack). Reference: managers/texture.rs
+        # slot updates vs the old full rebuild.
+        self._pending_adds: list = []
+        self._shelf = None
+        self._rects = None
+        self._mip_counts = None
+        self._atlas_dev = None
 
     def add(self, idx: int, tex: Texture) -> None:
         f = _decode_to_linear_f32(tex)
@@ -90,6 +100,7 @@ class TextureManager:
             else:
                 levels = 1
             self.data[idx] = InternalTexture(size=(h, w), mips=_mip_chain(f, levels))
+            self._pending_adds.append(idx)
         self.dirty = True
 
     def add_from(self, idx: int, src_idx: int, start_mip: int, mip_count) -> None:
@@ -101,10 +112,16 @@ class TextureManager:
         mips = [m.copy() for m in src.mips[start_mip:end]]
         assert mips, "TextureFromTexture: empty mip range"
         self.data[idx] = InternalTexture(size=(mips[0].shape[0], mips[0].shape[1]), mips=mips)
+        self._pending_adds.append(idx)
         self.dirty = True
 
     def remove(self, idx: int) -> None:
         self.data.pop(idx, None)
+        if idx in self._pending_adds:
+            self._pending_adds.remove(idx)
+        elif self.kind == "d2" and self._rects is not None and idx + 1 < len(self._rects):
+            self._rects[idx + 1] = 0.0
+            self._mip_counts[idx + 1] = 0
         self.dirty = True
 
     def shader_index(self, handle) -> int:
@@ -112,15 +129,68 @@ class TextureManager:
         (reference: texture.rs translation_fn)."""
         return handle.idx + 1
 
+    def _full_pack(self, tex_ops):
+        import jax
+
+        atlas, rects, mip_counts, shelf = tex_ops.build_texture_atlas_state(self.data)
+        self._rects = rects
+        self._mip_counts = mip_counts
+        self._shelf = shelf
+        self._atlas_dev = jax.device_put(atlas)
+        self._pending_adds.clear()
+
+    def _try_incremental(self, tex_ops) -> bool:
+        """Place pending adds into the resident atlas; False -> repack."""
+        import jax.numpy as jnp
+
+        n_slots = (max(self.data.keys()) + 1) if self.data else 0
+        if n_slots + 1 > len(self._rects):
+            grown_r = np.zeros((n_slots + 1, tex_ops.MAX_MIPS, 4), np.float32)
+            grown_r[: len(self._rects)] = self._rects
+            self._rects = grown_r
+            grown_m = np.zeros(n_slots + 1, np.int32)
+            grown_m[: len(self._mip_counts)] = self._mip_counts
+            self._mip_counts = grown_m
+        placements = []
+        for idx in self._pending_adds:
+            t = self.data.get(idx)
+            if t is None:
+                continue
+            for mi, mip in enumerate(t.mips[: tex_ops.MAX_MIPS]):
+                h, w = mip.shape[0], mip.shape[1]
+                pos = self._shelf.place(w + 2, h + 2)
+                if pos is None:
+                    return False
+                placements.append((idx, mi, mip, pos))
+        atlas = self._atlas_dev
+        for idx, mi, mip, (x, y) in placements:
+            h, w = mip.shape[0], mip.shape[1]
+            atlas = atlas.at[y : y + h + 2, x : x + w + 2].set(
+                jnp.asarray(tex_ops.gutter_block(mip))
+            )
+            self._rects[idx + 1, mi] = (x + 1, y + 1, w, h)
+            self._mip_counts[idx + 1] = max(self._mip_counts[idx + 1], mi + 1)
+        self._atlas_dev = atlas
+        self._pending_adds.clear()
+        return True
+
     def evaluate(self):
         """Build/refresh the device texture arrays; see ops/texture.py."""
         if not self.dirty and self._device is not None:
             return self._device
+        import jax
+
         from ...ops import texture as tex_ops
 
         if self.kind == "cube":
             self._device = tex_ops.build_cube_array(self.data)
         else:
-            self._device = tex_ops.build_texture_atlas(self.data)
+            if self._atlas_dev is None or not self._try_incremental(tex_ops):
+                self._full_pack(tex_ops)
+            self._device = tex_ops.TextureArrays(
+                atlas=self._atlas_dev,
+                rects=jax.device_put(self._rects),
+                mip_counts=jax.device_put(self._mip_counts),
+            )
         self.dirty = False
         return self._device

@@ -190,12 +190,25 @@ def _node_local_transform(node: dict) -> np.ndarray:
 
 
 def _load_image_texture(renderer: Renderer, file: _GltfFile, gltf_tex: dict, srgb: bool):
-    from PIL import Image
-
     src = gltf_tex["source"]
     data = file.image_bytes(src)
-    pil = Image.open(io.BytesIO(data)).convert("RGBA")
-    arr = np.asarray(pil)
+    # ktx2/dds containers (reference: rend3-gltf/src/lib.rs:1185-1627) are
+    # parsed + BCn-decoded on the host; everything else goes through PIL.
+    if data[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
+        from .compressed import decode_ktx2
+
+        arr, fmt_srgb = decode_ktx2(bytes(data))
+        srgb = srgb or fmt_srgb
+    elif data[:4] == b"DDS ":
+        from .compressed import decode_dds
+
+        arr, fmt_srgb = decode_dds(bytes(data))
+        srgb = srgb or fmt_srgb
+    else:
+        from PIL import Image
+
+        pil = Image.open(io.BytesIO(data)).convert("RGBA")
+        arr = np.asarray(pil)
     fmt = TextureFormat.RGBA8_UNORM_SRGB if srgb else TextureFormat.RGBA8_UNORM
     return renderer.add_texture_2d(
         Texture(label=f"gltf image {src}", data=arr, format=fmt, mip_count=MipmapCount.MAXIMUM)

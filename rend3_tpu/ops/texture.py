@@ -18,6 +18,9 @@ import numpy as np
 __all__ = [
     "TextureArrays",
     "build_texture_atlas",
+    "build_texture_atlas_state",
+    "gutter_block",
+    "ShelfState",
     "build_cube_array",
     "sample_textures",
     "sample_textures_grid",
@@ -71,14 +74,52 @@ def _shelf_pack(sizes):
         side *= 2
 
 
-def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
-    """textures: manager dict idx -> InternalTexture(mips=[...]).
+def gutter_block(mip: np.ndarray) -> np.ndarray:
+    """(h+2, w+2, 4) block: the mip surrounded by a 1-texel WRAPPED gutter
+    so bilinear taps at rect edges — including the floor tap at -1 — read
+    the repeat-addressed texel with plain static +0/+1 offsets. This is
+    what makes the MXU sampler's contiguous 2x2 footprint exact under
+    repeat."""
+    h, w = mip.shape[0], mip.shape[1]
+    g = np.zeros((h + 2, w + 2, 4), dtype=np.float32)
+    g[1 : h + 1, 1 : w + 1] = mip
+    g[0, 1 : w + 1] = mip[h - 1]
+    g[h + 1, 1 : w + 1] = mip[0]
+    g[:, 0] = g[:, w]
+    g[:, w + 1] = g[:, 1]
+    return g
 
-    Every mip is packed with a 1-texel wrapped gutter on all sides (repeat
-    addressing pre-baked into the border) so bilinear taps at rect edges —
-    including the floor tap at -1 — read the wrapped texel with plain
-    static +0/+1 offsets; rects point at the gutter interior. This is what
-    makes the MXU sampler's contiguous 2x2 footprint exact under repeat."""
+
+class ShelfState:
+    """Incremental shelf packer state (texture atlas placements)."""
+
+    def __init__(self, side: int = 4):
+        self.side = side
+        self.x = 0
+        self.y = 0
+        self.shelf_h = 0
+
+    def place(self, w: int, h: int):
+        """(x, y) for a w x h block, or None when the atlas is full."""
+        if w > self.side:
+            return None
+        if self.x + w > self.side:
+            self.x = 0
+            self.y += self.shelf_h
+            self.shelf_h = 0
+        if self.y + h > self.side:
+            return None
+        pos = (self.x, self.y)
+        self.x += w
+        self.shelf_h = max(self.shelf_h, h)
+        return pos
+
+
+def build_texture_atlas_state(textures: Dict[int, object]):
+    """Full shelf pack of every texture's gutter-bordered mips. Returns
+    (atlas np, rects np, mip_counts np, ShelfState) — the state lets the
+    manager place LATER adds incrementally (reference: incremental slot
+    updates vs full rebuilds, managers/texture.rs)."""
     n_slots = (max(textures.keys()) + 1) if textures else 0
     entries = []  # (slot, mip, array)
     sizes = []
@@ -94,19 +135,23 @@ def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
     atlas = np.zeros((H, W, 4), dtype=np.float32)
     rects = np.zeros((n_slots + 1, MAX_MIPS, 4), dtype=np.float32)
     mip_counts = np.zeros(n_slots + 1, dtype=np.int32)
+    max_y = 0
     for (idx, mi, mip), p in zip(entries, pos):
         x, y = p
         h, w = mip.shape[0], mip.shape[1]
-        g = np.zeros((h + 2, w + 2, 4), dtype=np.float32)
-        g[1 : h + 1, 1 : w + 1] = mip
-        g[0, 1 : w + 1] = mip[h - 1]
-        g[h + 1, 1 : w + 1] = mip[0]
-        g[:, 0] = g[:, w]
-        g[:, w + 1] = g[:, 1]
-        atlas[y : y + h + 2, x : x + w + 2] = g
+        atlas[y : y + h + 2, x : x + w + 2] = gutter_block(mip)
         rects[idx + 1, mi] = (x + 1, y + 1, w, h)
         mip_counts[idx + 1] = max(mip_counts[idx + 1], mi + 1)
+        max_y = max(max_y, y + h + 2)
+    # Continue incremental placement on a fresh shelf below everything the
+    # full pack used (sorted-shelf rows are not resumable exactly).
+    state = ShelfState(side=W)
+    state.y = max_y
+    return atlas, rects, mip_counts, state
 
+
+def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
+    atlas, rects, mip_counts, _ = build_texture_atlas_state(textures)
     return TextureArrays(
         atlas=jax.device_put(atlas),
         rects=jax.device_put(rects),

@@ -205,8 +205,8 @@ class BaseRenderGraph:
         if len(counts) > 6 and counts[6] > resid_cap:
             self._caps["resid"] = _pad_pow2(int(counts[6]), minimum=4096)
             grew = True
-        if len(counts) > 7 and counts[7] > 0 and self._caps.get("blend_peels", 4) < 16:
-            self._caps["blend_peels"] = self._caps.get("blend_peels", 4) * 2
+        if len(counts) > 7 and counts[7] > 0 and self._caps.get("blend_peels", 2) < 16:
+            self._caps["blend_peels"] = self._caps.get("blend_peels", 2) * 2
             grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
@@ -287,14 +287,25 @@ class BaseRenderGraph:
             blend_vlocal[: len(blend)] = blend[:, :3]
             blend_obj[: len(blend)] = blend[:, 3]
 
-        # Object tables + frustum culling masks (host, vectorized numpy).
-        transforms = np.zeros((ocap, 4, 4), dtype=np.float32)
-        transforms[:, range(4), range(4)] = 1.0
-        transforms[: om.cap] = om.transforms
-        bases = np.full((ocap, len(ATTR_ORDER)), -1, dtype=np.int32)
-        bases[: om.cap] = om.bases
-        material_slots = np.zeros(ocap, dtype=np.int32)
-        material_slots[: om.cap] = om.material_slots
+        # Object tables (device-cached against the manager version: a static
+        # scene re-uploads nothing per frame; the reference equivalent is
+        # the dirty-slot scatter of util/freelist/buffer.rs).
+        tbl_key = (om.version, ocap)
+        if getattr(self, "_obj_tbl_key", None) != tbl_key:
+            transforms = np.zeros((ocap, 4, 4), dtype=np.float32)
+            transforms[:, range(4), range(4)] = 1.0
+            transforms[: om.cap] = om.transforms
+            bases = np.full((ocap, len(ATTR_ORDER)), -1, dtype=np.int32)
+            bases[: om.cap] = om.bases
+            material_slots = np.zeros(ocap, dtype=np.int32)
+            material_slots[: om.cap] = om.material_slots
+            self._obj_tbl = (
+                jnp.asarray(transforms),
+                jnp.asarray(bases),
+                jnp.asarray(material_slots),
+            )
+            self._obj_tbl_key = tbl_key
+        transforms_d, bases_d, material_slots_d = self._obj_tbl
 
         enabled = np.zeros(ocap, dtype=bool)
         enabled[: om.cap] = om.enabled
@@ -370,7 +381,7 @@ class BaseRenderGraph:
         main_cap = self._survivor_cap("main", ctable)
         shadow_cap = self._survivor_cap("shadow", ctable)
         resid_cap = min(self._caps.setdefault("resid", 4096), ctable)
-        blend_peels = self._caps.setdefault("blend_peels", 4) if len(blend) else 0
+        blend_peels = self._caps.setdefault("blend_peels", 2) if len(blend) else 0
         tmul_main = self._caps.setdefault("tile_main_mult", 1)
         tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
         tex_pair_cap = self._caps.setdefault("tex_pair", 16)
@@ -378,9 +389,19 @@ class BaseRenderGraph:
         # Static per-frame texture-slot usage: slots no material references
         # are never sampled (the WGSL equivalent would be a shader variant).
         active_tex_slots = ()
+        blend_tex_slots = ()
         if textures is not None:
             host_tex = r.material_manager.archetypes[arch].textures
             active_tex_slots = tuple(int(q) for q in np.nonzero(host_tex.any(axis=0))[0])
+            # Blend peels sample only the slots BLEND materials reference
+            # (typically none for plain glass) — each peel re-runs the
+            # texture sampler, so an empty tuple skips it entirely.
+            if len(blend):
+                bslots = np.unique(
+                    om.material_slots[np.unique(blend[:, 3])]
+                )
+                bl_tex = host_tex[np.clip(bslots, 0, len(host_tex) - 1)]
+                blend_tex_slots = tuple(int(q) for q in np.nonzero(bl_tex.any(axis=0))[0])
         # Cutout (alpha-tested) triangles: objects whose material has a
         # nonzero alpha cutoff render through the depth-peel loop
         # (ref depth.wgsl:105-124 discard).
@@ -413,6 +434,7 @@ class BaseRenderGraph:
             resid_cap,
             blend_peels,
             shadow_pair_cap,
+            blend_tex_slots,
         )
         program = self._program_cache.get(key)
         if program is None:
@@ -438,11 +460,11 @@ class BaseRenderGraph:
             jnp.asarray(tri_obj),
             jnp.asarray(blend_vlocal),
             jnp.asarray(blend_obj),
-            jnp.asarray(transforms),
+            transforms_d,
             jnp.asarray(visible),
             jnp.asarray(shadow_visible),
-            jnp.asarray(bases),
-            jnp.asarray(material_slots),
+            bases_d,
+            material_slots_d,
             mat_data,
             mat_flags,
             mat_tex,
@@ -466,7 +488,7 @@ class BaseRenderGraph:
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
          active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
-         shadow_pair_cap) = key
+         shadow_pair_cap, blend_tex_slots) = key
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -896,12 +918,12 @@ class BaseRenderGraph:
                             ~ohit_b | (gbuf_b.data[def_ops.G_DEPTH] >= odepth_b)
                         )
                         sv_b = shadow_values_for(gbuf_b) if plan else None
-                        if has_tex and active_tex_slots:
+                        if has_tex and blend_tex_slots:
                             rgba_b, tovf = light_ops.light_gbuffer(
                                 gbuf_b, materials, dir_lights, point_lights,
                                 shadow_atlas, uniforms, bg0, textures=textures,
                                 shadow_values=sv_b,
-                                active_tex_slots=active_tex_slots,
+                                active_tex_slots=blend_tex_slots,
                                 tex_pair_cap=tex_pair_cap, interpret=interp,
                             )
                             tex_pair_overflows.append(tovf)
