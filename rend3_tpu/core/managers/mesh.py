@@ -95,8 +95,14 @@ class MeshManager:
             start = self._allocs[name].allocate(count)
         return start
 
+    MAX_VERTEX_CAP = 1 << 24  # arena rows (the reference's MaxBufferSize analog)
+
     def _grow_vertices(self) -> None:
         new_cap = self.vertex_cap * 2
+        if new_cap > self.MAX_VERTEX_CAP:
+            from ...types.error import DeviceLimitError
+
+            raise DeviceLimitError("vertex arena", new_cap, self.MAX_VERTEX_CAP)
         for name, arena in self._arenas.items():
             grown = np.zeros((new_cap, arena.shape[1]), dtype=np.float32)
             grown[: self.vertex_cap] = arena

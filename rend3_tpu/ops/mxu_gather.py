@@ -140,6 +140,31 @@ def pair_lists(
     return ids, jnp.minimum(counts, cap), bits, overflow
 
 
+
+
+def _pair_step_tables(counts: jnp.ndarray, nT: int, cap: int, slack_tiles: int = 16):
+    """1D work queue over actual (screen tile, source cell) pairs: one grid
+    step per real pair plus one init step per pair-less tile. Returns
+    (step_tile, step_j, n_steps_static, total_overflow). A 2D (tile, cap)
+    grid pays the Mosaic step overhead for every empty slot, making kernel
+    time scale with the pair CAPACITY (adaptive cap growth turned a
+    ~1k-pair frame into a quarter-million grid steps)."""
+    per_tile = jnp.maximum(counts, 1)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
+    )
+    total = base[-1] + per_tile[-1]
+    S = nT + 4 * nT + slack_tiles * cap  # typical ~2-4 pairs/tile + worst-tile slack
+    s = jnp.arange(S, dtype=jnp.int32)
+    tile = jnp.clip(jnp.searchsorted(base, s, side="right").astype(jnp.int32) - 1, 0, nT - 1)
+    j = s - base[tile]
+    pad = s >= total
+    step_tile = jnp.where(pad, nT - 1, tile).astype(jnp.int32)
+    step_j = jnp.where(pad, cap, jnp.minimum(j, cap)).astype(jnp.int32)
+    overflow = jnp.maximum(total - S, 0)
+    return step_tile, step_j, S, overflow
+
+
 def sample_grid(
     img: jnp.ndarray,              # (Hs, Ws) f32 source grid
     bx: jnp.ndarray,               # (H, W) int32 base col per pixel
@@ -178,6 +203,8 @@ def sample_grid(
     ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
+    st, sj, S, qovf = _pair_step_tables(counts, nT, cap)
+    overflow = overflow + qovf
 
     # Pixel coords, pixels-on-LANES layout (nT, 2, npx): one-hot rows live on
     # sublanes so every block is padding-free and no in-kernel relayouts occur.
@@ -195,9 +222,10 @@ def sample_grid(
 
     npb = BAND_H * STILE_W
 
-    def kernel(counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, out_ref):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(st_ref, sj_ref, counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, out_ref):
+        s = pl.program_id(0)
+        i = st_ref[s]
+        j = sj_ref[s]
         sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
         sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
 
@@ -247,20 +275,25 @@ def sample_grid(
                     out_ref[0, :, sl] = out_ref[0, :, sl] + jnp.concatenate(cols, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # counts, pids, bits
-        grid=(nT, cap),
+        num_scalar_prefetch=5,  # step_tile, step_j, counts, pids, bits
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R, STILE_W), lambda i, j, c, p, bb: (p[i * cap + j], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, R, STILE_W),
+                lambda s, st, sj, c, p, bb: (
+                    p[st[s] * cap + jnp.minimum(sj[s], cap - 1)], 0, 0,
+                ),
+            ),
+            pl.BlockSpec((1, 2, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, OL, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, OL, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nT, OL, npx), jnp.float32),
         interpret=interpret,
-    )(counts, pids, bits, grid.tiles, coords)
+    )(st, sj, counts, pids, bits, grid.tiles, coords)
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
@@ -337,6 +370,8 @@ def sample_grid_bilinear(
     ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
+    st, sj, S, qovf = _pair_step_tables(counts, nT, cap)
+    overflow = overflow + qovf
 
     def tile_flat(a):
         return (
@@ -355,9 +390,10 @@ def sample_grid_bilinear(
 
     npb = BAND_H * STILE_W
 
-    def kernel(counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, fracs_ref, out_ref):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(st_ref, sj_ref, counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, fracs_ref, out_ref):
+        s = pl.program_id(0)
+        i = st_ref[s]
+        j = sj_ref[s]
         subR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
 
@@ -403,21 +439,26 @@ def sample_grid_bilinear(
                         out_ref[0, c, sl] = out_ref[0, c, sl] + val[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # counts, pids, bits
-        grid=(nT, cap),
+        num_scalar_prefetch=5,  # step_tile, step_j, counts, pids, bits
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R, C * STILE_W), lambda i, j, c, p, bb: (p[i * cap + j], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda i, j, c, p, bb: (i, 0, 0)),
-            pl.BlockSpec((1, 3, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, R, C * STILE_W),
+                lambda s, st, sj, c, p, bb: (
+                    p[st[s] * cap + jnp.minimum(sj[s], cap - 1)], 0, 0,
+                ),
+            ),
+            pl.BlockSpec((1, 2, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
+            pl.BlockSpec((1, 3, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, CL, npx), lambda i, j, c, p, bb: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, CL, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nT, CL, npx), jnp.float32),
         interpret=interpret,
-    )(counts, pids, bits, grid.tiles, coords, fracs)
+    )(st, sj, counts, pids, bits, grid.tiles, coords, fracs)
 
     out = out[:, :C].reshape(n_rows, n_cols, C, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(C, H, W)

@@ -586,21 +586,31 @@ def _shade_pixels(
         contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
         color = color + jnp.where(dir_lights.mask[i], contrib, 0.0)
 
-    P = point_lights.mask.shape[0]
-    for i in range(P):
-        lp4 = jnp.concatenate([point_lights.position[i], jnp.ones(1)])
+    # Point lights: one compiled lax.scan step per light (the reference
+    # shades an arbitrary-length light array in a shader loop,
+    # opaque.wgsl; a Python unroll would retrace per light count).
+    def point_body(acc, light):
+        pos, col, radius, mask = light
+        lp4 = jnp.concatenate([pos, jnp.ones(1)])
         delta = (uniforms.view @ lp4)[:3][None] - view_pos
         d = jnp.sqrt((delta * delta).sum(-1, keepdims=True))
-        s = _saturate(d / point_lights.radius[i])
+        s = _saturate(d / radius)
         s2 = s * s
         inv_s2 = 1.0 - s2
         att = inv_s2 * inv_s2 / (1.0 + s2)
-        intensity = point_lights.color[i][None] * att
+        intensity = col[None] * att
         l = delta / jnp.where(d == 0.0, 1.0, d)
         contrib = surface_shading(l, intensity, normal, f0, roughness, diffuse_color, v, ao)
         # reference: max(contrib, 0) — wgsl max() also swallows NaN.
         contrib = jnp.maximum(jnp.where(jnp.isfinite(contrib), contrib, 0.0), 0.0)
-        color = color + jnp.where(point_lights.mask[i], contrib, 0.0)
+        return acc + jnp.where(mask, contrib, 0.0), None
+
+    if point_lights.mask.shape[0]:
+        color, _ = jax.lax.scan(
+            point_body,
+            color,
+            (point_lights.position, point_lights.color, point_lights.radius, point_lights.mask),
+        )
 
     ambient = uniforms.ambient[None] * albedo
     shaded_rgb = color

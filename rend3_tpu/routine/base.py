@@ -166,7 +166,14 @@ class BaseRenderGraph:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
         for _attempt in range(8):
             program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
-            out = program(*args)
+            try:
+                out = program(*args)
+            except Exception as e:  # surface typed OOM (ref error.rs LowDeviceLimit)
+                if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                    from ..types.error import DeviceOutOfMemoryError
+
+                    raise DeviceOutOfMemoryError(str(e)) from e
+                raise
             img, mask, aux = out
             counts = np.asarray(jax.device_get(aux))
             if not self._grow_caps(counts):

@@ -48,8 +48,17 @@ class _HandleCore:
             self.destroy_fn = None
             try:
                 fn(self.raw)
-            except Exception:  # renderer already shut down; nothing to delete from
-                pass
+            except Exception:
+                # Finalizers cannot raise; log instead of hiding the drop
+                # failure entirely (interpreter shutdown is expected noise).
+                import sys
+
+                if sys is not None and not sys.is_finalizing():
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "dropping %r failed", self.raw, exc_info=True
+                    )
 
 
 class ResourceHandle(Generic[T]):
