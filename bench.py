@@ -18,6 +18,13 @@ import time
 
 import numpy as np
 
+T0 = time.perf_counter()
+
+
+def _log(msg):
+    """Progress to stderr (the JSON result line is the only stdout output)."""
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def _subdivided_cube(g: int) -> tuple:
     """A [-1,1] cube with each face split into a g x g quad grid
@@ -225,6 +232,12 @@ def build_city_scene(runner, n_buildings=600, seed=7, subdiv=3, representative=T
 
 
 def main():
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="[bench log] %(message)s",
+    )
     from rend3_tpu.testing import TestRunner
     from rend3_tpu.routine.base import BaseRenderGraphSettings, FrameRenderTarget
     from rend3_tpu.types import Camera, Perspective
@@ -234,6 +247,7 @@ def main():
     warmup, iters = 1, 8
 
     def measure(representative):
+        _log(f"building scene (representative={representative})")
         runner = TestRunner()
         keep = build_city_scene(runner, representative=representative)
         runner.set_camera_data(
@@ -250,37 +264,40 @@ def main():
         target = FrameRenderTarget(width, height, 1)
         # Settle adaptive survivor capacities AND the carried two-phase
         # occlusion mask (render_frame grows caps / predicts visibility) so
-        # the timed program matches steady state.
+        # the timed program matches steady state. Each TPU whole-frame
+        # compile is minutes; the attempt log below accounts for them.
+        _log("warmup frame 1 (cap growth + compiles happen here)")
         runner.base_graph.render_frame(eval_output, target, settings)
+        _log(f"warmup frame 2 (caps={runner.base_graph._caps})")
         runner.base_graph.render_frame(eval_output, target, settings)
+        _log("building timed callable")
         program, args = runner.base_graph.build_frame_callable(eval_output, target, settings)
 
         # The axon tunnel dispatches asynchronously and caches identical
         # repeat computations; measure with a device-side loop (devbench).
         from rend3_tpu.utils.devbench import time_op
 
+        _log("time_op (compiles the device-loop program, then measures)")
         ms = time_op(program.__wrapped__, *args, iters=iters)
+        _log(f"measured {ms:.2f} ms (stats={runner.base_graph.last_stats})")
         del keep
         return ms
 
     # Primary metric: the REPRESENTATIVE scene (textured PBR + cutout
-    # foliage + blended glass + 2 shadowed lights — what Bistro stresses);
-    # the flat-color variant is reported alongside for continuity with
-    # earlier rounds.
+    # foliage + blended glass + 2 shadowed lights — what Bistro stresses).
+    # The flat-color variant from earlier rounds costs several extra
+    # multi-minute TPU compiles, so it runs only with --flat.
     ms = measure(True)
-    ms_flat = measure(False)
+    result = {
+        "metric": "bistro-proxy 1080p ms/frame (textured+cutout+blend+2 shadows, 1 chip)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(16.0 / ms, 4),
+    }
+    if "--flat" in sys.argv:
+        result["flat_scene_ms"] = round(measure(False), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bistro-proxy 1080p ms/frame (textured+cutout+blend+2 shadows, 1 chip)",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(16.0 / ms, 4),
-                "flat_scene_ms": round(ms_flat, 3),
-            }
-        )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from rend3_tpu import framework
+from rend3_tpu.framework.camera import FirstPersonControls
 from rend3_tpu.gltf.loader import GltfLoadSettings, load_gltf_file
 from rend3_tpu.types import Camera, DirectionalLight, Handedness, Perspective
 from rend3_tpu.utils import math as m3
@@ -26,6 +27,19 @@ class SceneViewer(framework.App):
     def __init__(self, args):
         self.args = args
         self._samples = 4 if args.msaa == 4 else 1
+        # First-person controls (reference mod.rs:583-643); --walk scripts
+        # and the live viewer both drive them.
+        # Sign note: this CLI's --pitch/--yaw historically bake directly
+        # into rotation_x(pitch) @ rotation_y(yaw); the controls' euler is
+        # rotation_x(-pitch) @ rotation_y(-yaw) (the reference's), so negate
+        # on ingest to keep existing flag values rendering identically.
+        self.controls = FirstPersonControls(
+            location=np.array(args.eye, np.float32),
+            pitch=float(-np.deg2rad(args.pitch)),
+            yaw=float(-np.deg2rad(args.yaw)),
+            vfov=args.fov,
+        )
+        self._walk = self.controls.run_script(args.walk) if args.walk else None
 
     def sample_count(self):
         return self._samples
@@ -59,10 +73,14 @@ class SceneViewer(framework.App):
                 )
             )
 
-        eye = np.array(self.args.eye, np.float32)
-        pitch, yaw = np.deg2rad(self.args.pitch), np.deg2rad(self.args.yaw)
-        view = m3.rotation_x(pitch) @ m3.rotation_y(yaw) @ m3.translation(-eye)
-        r.set_camera_data(Camera(projection=Perspective(vfov=self.args.fov, near=0.1), view=view))
+        r.set_camera_data(self.controls.camera())
+
+    def handle_redraw(self, context):
+        # Scripted flythrough: advance the walk script one frame, then
+        # re-upload the camera (reference mod.rs:583-643 per-redraw update).
+        if self._walk is not None:
+            next(self._walk, None)
+        context.renderer.set_camera_data(self.controls.camera())
 
 
 def parse_args(argv=None):
@@ -85,6 +103,14 @@ def parse_args(argv=None):
     p.add_argument("--directional-light-intensity", type=float, default=4.0)
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--walk", default=None,
+                   help="scripted first-person flythrough: comma-separated "
+                        "held-key frames and commands, e.g. "
+                        "'w,w,w,yaw:15,wd,wd,pitch:-10,W,W' (uppercase=run); "
+                        "writes one frame per movement step")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="live viewer: stream frames over http://localhost:PORT "
+                        "with WASD/mouse-drag controls in the browser")
     p.add_argument("-o", "--output", default="scene_viewer.png")
     return p.parse_args(argv)
 
@@ -92,12 +118,27 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     app = SceneViewer(args)
+    if args.serve is not None:
+        from rend3_tpu.framework.viewer import serve_app
+
+        serve_app(app, args.width, args.height, port=args.serve)
+        return
+    frames = args.frames
+    if args.walk:
+        steps = sum(1 for t in args.walk.split(",") if t.strip() and ":" not in t)
+        frames = max(frames, steps + 1)
     t0 = time.perf_counter()
-    images = framework.start(app, args.width, args.height, frames=args.frames)
+    images = framework.start(app, args.width, args.height, frames=frames,
+                             frame_dt=(1.0 / 60.0 if args.walk else 0.0))
     elapsed = time.perf_counter() - t0
 
     from rend3_tpu.testing import save_png
 
+    if args.walk and len(images) > 1:
+        stem, _, ext = args.output.rpartition(".")
+        for i, im in enumerate(images):
+            save_png(f"{stem or 'frame'}_{i:03d}.{ext or 'png'}", im)
+        print(f"wrote {len(images)} flythrough frames ({stem or 'frame'}_NNN.{ext or 'png'})")
     save_png(args.output, images[-1])
     print(f"wrote {args.output}")
     if args.benchmark:

@@ -18,8 +18,17 @@ import numpy as np
 from ..core.renderer import Renderer
 from ..routine.base import BaseRenderGraph, BaseRenderGraphSettings, FrameRenderTarget
 from ..types import Handedness, SampleCount
+from .assets import AssetLoader, AssetPath
 
-__all__ = ["App", "SetupContext", "RedrawContext", "start", "render_single_frame"]
+__all__ = [
+    "App",
+    "SetupContext",
+    "RedrawContext",
+    "start",
+    "render_single_frame",
+    "AssetLoader",
+    "AssetPath",
+]
 
 
 @dataclass
@@ -27,6 +36,8 @@ class SetupContext:
     renderer: Renderer
     base_graph: BaseRenderGraph
     resolution: tuple
+    overlay: object = None       # OverlayRoutine — register UI textures here
+    loader: AssetLoader = None   # AssetLoader for the app's base path
 
 
 @dataclass
@@ -36,6 +47,7 @@ class RedrawContext:
     resolution: tuple
     delta_t_seconds: float
     elapsed: float
+    overlay: object = None
 
 
 class App:
@@ -55,11 +67,23 @@ class App:
     def skybox_slot(self) -> Optional[int]:
         return None
 
+    def asset_base(self) -> str:
+        """Base path for the AssetLoader handed to setup() (the reference's
+        new_local base file path, assets.rs:41-54)."""
+        return ""
+
     def setup(self, context: SetupContext) -> None:  # pragma: no cover
         pass
 
     def handle_redraw(self, context: RedrawContext) -> None:
         """Per-frame scene mutation (animation etc.); default no-op."""
+
+    def overlay_jobs(self, context: RedrawContext) -> list:
+        """UI paint jobs (overlay.PaintJob) composited over this frame —
+        the rend3-egui integration point (the reference adds the egui node
+        after the tonemap node, rend3-egui/src/lib.rs:16-60). Return an
+        empty list for no overlay."""
+        return []
 
 
 def render_single_frame(app: App, width: int, height: int) -> np.ndarray:
@@ -74,9 +98,21 @@ def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 
     frame_dt defaults to 0.0 to mirror the reference's headless screenshot
     harness (examples/src/tests.rs:79 `delta_t_seconds: 0.0`), so animated
     examples render their t=0 pose; live viewers pass a real delta."""
+    from ..overlay import OverlayRoutine
+
     renderer = Renderer(handedness=app.HANDEDNESS, aspect_ratio=width / height)
     base_graph = BaseRenderGraph(renderer)
-    app.setup(SetupContext(renderer=renderer, base_graph=base_graph, resolution=(width, height)))
+    overlay_routine = OverlayRoutine()
+    app.overlay = overlay_routine  # texture registration from setup/redraw
+    app.setup(
+        SetupContext(
+            renderer=renderer,
+            base_graph=base_graph,
+            resolution=(width, height),
+            overlay=overlay_routine,
+            loader=AssetLoader(app.asset_base()),
+        )
+    )
     renderer.set_aspect_ratio(width / height)
 
     settings = BaseRenderGraphSettings(
@@ -87,19 +123,21 @@ def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 
     images = []
     elapsed = 0.0
     for i in range(frames):
-        app.handle_redraw(
-            RedrawContext(
-                renderer=renderer,
-                base_graph=base_graph,
-                resolution=(width, height),
-                delta_t_seconds=frame_dt,
-                elapsed=elapsed,
-            )
+        ctx = RedrawContext(
+            renderer=renderer,
+            base_graph=base_graph,
+            resolution=(width, height),
+            delta_t_seconds=frame_dt,
+            elapsed=elapsed,
+            overlay=overlay_routine,
         )
+        app.handle_redraw(ctx)
         renderer.swap_instruction_buffers()
         eval_output = renderer.evaluate_instructions()
-        images.append(
-            base_graph.render_frame(eval_output, target, settings, skybox_slot=app.skybox_slot())
-        )
+        img = base_graph.render_frame(eval_output, target, settings, skybox_slot=app.skybox_slot())
+        jobs = app.overlay_jobs(ctx)
+        if jobs:
+            img = overlay_routine.render(img, jobs)
+        images.append(img)
         elapsed += frame_dt
     return images

@@ -3,9 +3,11 @@
 Behavioral port of rend3-gltf's compressed-texture support
 (rend3-gltf/src/lib.rs:1185-1627: ktx2/ddsfile parsing + TextureFormat
 mapping). The reference hands BCn payloads to the GPU's native sampler;
-the TPU atlas needs linear RGBA, so the BC blocks are decoded on the host
-(BC1/BC2/BC3/BC4/BC5 + uncompressed RGBA8; BC6H/BC7 and supercompressed
-KTX2 are rejected with a clear error).
+the TPU atlas needs linear RGBA, so the BC blocks are decoded on the host:
+BC1-BC5 in vectorized numpy here, BC6H/BC7 through Pillow's native BCn
+decoder (baked into this image), and Zstandard-supercompressed KTX2 via
+the zstandard module. BasisLZ supercompression is rejected with a clear
+error (needs a UASTC transcoder).
 """
 
 from __future__ import annotations
@@ -28,11 +30,35 @@ _VK_FORMATS = {
     137: ("bc3", False), 138: ("bc3", True),
     139: ("bc4", False), 140: ("bc4", False),
     141: ("bc5", False), 142: ("bc5", False),
+    143: ("bc6h", False), 144: ("bc6hs", False),   # UFLOAT / SFLOAT
+    145: ("bc7", False), 146: ("bc7", True),
 }
 
 
 def _bc_block_bytes(kind: str) -> int:
     return 8 if kind in ("bc1", "bc4") else 16
+
+
+def _decode_bcn_pillow(kind: str, payload: bytes, width: int, height: int) -> np.ndarray:
+    """BC6H (half-float HDR, clamped to LDR u8 by Pillow) and BC7 via
+    Pillow's C BCn decoder — the mode/partition/anchor tables are large
+    spec constants best left to a battle-tested implementation. Returns
+    (height, width, 4) u8."""
+    from PIL import Image
+
+    bw, bh = -(-width // 4), -(-height // 4)
+    n = bw * bh * 16
+    if len(payload) < n:
+        raise ValueError(f"{kind} payload too short: {len(payload)} < {n}")
+    # Pillow requires the image size itself; it reads ceil(w/4)*ceil(h/4)
+    # blocks, so pad the logical extent up to the block grid first.
+    if kind == "bc7":
+        im = Image.frombytes("RGBA", (bw * 4, bh * 4), payload[:n], "bcn", (7, "BC7"))
+    else:
+        pf = "BC6HS" if kind == "bc6hs" else "BC6H"
+        im = Image.frombytes("RGB", (bw * 4, bh * 4), payload[:n], "bcn", (6, pf))
+        im = im.convert("RGBA")
+    return np.asarray(im, np.uint8)[:height, :width]
 
 
 def _decode_bc1_color(block: np.ndarray, out: np.ndarray, alpha_from=None):
@@ -125,6 +151,8 @@ def decode_bc(kind: str, payload: bytes, width: int, height: int) -> np.ndarray:
         out[..., 1] = _decode_bc4_channel(blocks[:, 8:])
         out[..., 2] = 0.0
         out[..., 3] = 255.0
+    elif kind in ("bc6h", "bc6hs", "bc7"):
+        return _decode_bcn_pillow(kind, payload, width, height)
     else:
         raise ValueError(f"unsupported block-compressed format: {kind}")
 
@@ -142,14 +170,23 @@ def decode_ktx2(data: bytes) -> Tuple[np.ndarray, bool]:
         raise ValueError("not a KTX2 file")
     (vk_format, type_size, width, height, depth, layers, faces, level_count,
      supercompression) = struct.unpack_from("<9I", data, 12)
-    if supercompression != 0:
-        raise ValueError("supercompressed KTX2 (BasisLZ/Zstd) not supported")
+    if supercompression not in (0, 2):
+        raise ValueError(
+            "unsupported KTX2 supercompression scheme "
+            f"{supercompression} (only none/Zstandard; BasisLZ needs a UASTC transcoder)"
+        )
     if vk_format not in _VK_FORMATS:
         raise ValueError(f"unsupported KTX2 vkFormat {vk_format}")
     kind, srgb = _VK_FORMATS[vk_format]
     # level index starts at byte 80; 3 u64 per level
-    off, length, _ulength = struct.unpack_from("<3Q", data, 80)
+    off, length, ulength = struct.unpack_from("<3Q", data, 80)
     payload = data[off : off + length]
+    if supercompression == 2:
+        import zstandard
+
+        payload = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=max(int(ulength), 1)
+        )
     if kind == "rgba8":
         img = np.frombuffer(payload[: width * height * 4], np.uint8).reshape(height, width, 4).copy()
     else:
@@ -172,6 +209,8 @@ _DXGI = {
     74: ("bc2", False), 75: ("bc2", True),
     77: ("bc3", False), 78: ("bc3", True),
     80: ("bc4", False), 83: ("bc5", False),
+    95: ("bc6h", False), 96: ("bc6hs", False),
+    98: ("bc7", False), 99: ("bc7", True),
 }
 
 

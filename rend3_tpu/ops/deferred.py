@@ -218,7 +218,7 @@ CHUNK = 64               # packed-list rows DMA'd per grid step
 GPC = CHUNK // GROUP     # groups per chunk
 
 
-def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int = 1):
+def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int = 1, y0=0):
     """Chunk-aligned per-tile lists (geometry.pack_chunks) plus the static
     capacity/chunk bounds. Capacity defaults to one chunk per tile + 2x the
     survivor table (pairs rarely exceed 2x survivors), scaled by the
@@ -229,7 +229,7 @@ def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int 
     T = tris.setup.shape[0]
     cap_total = -(-(nT * CHUNK + 2 * T * flat_mult) // CHUNK) * CHUNK
     max_chunks = max(1, -(-K // CHUNK))
-    flat = pack_chunks(tris, binned, N_BANDS, BAND_H, n_cols, CHUNK, cap_total, max_chunks)
+    flat = pack_chunks(tris, binned, N_BANDS, BAND_H, n_cols, CHUNK, cap_total, max_chunks, y0=y0)
     return flat, cap_total, max_chunks
 
 
@@ -272,6 +272,7 @@ def raster_depth(
     *,
     interpret: bool = False,
     flat_mult: int = 1,
+    y0=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Depth-only raster over chunk-packed per-tile lists: ((H, W) f32,
     overflow counter).
@@ -282,25 +283,29 @@ def raster_depth(
     (8, 128)-pixel bands its band mask covers — bandwidth, compute AND grid
     overhead all scale with the scene's real triangle-tile pairs. Used for
     the Hi-Z predicted-depth prepass (reference: two-phase culling,
-    base.rs:155-172) and shadow maps."""
+    base.rs:155-172) and shadow maps.
+
+    y0: optional traced absolute row of the target's first row (multi-chip
+    band rendering); pixel coordinates are y0 + local, added as integers so
+    band renders are bit-identical to the single-chip full-target raster."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult)
+    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult, y0=y0)
     bset = tris.setup[jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)]  # (cap, W)
     st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=1)
     # Materialize the packed tables once: XLA otherwise re-derives parts of
     # the pack/step chain inside each consumer fusion of the big frame
     # program (in-frame stage cost measured 2-3x the standalone op).
     flat, bset, st, sk, sc = jax.lax.optimization_barrier((flat, bset, st, sk, sc))
-    depth = _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret)
+    depth = _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0)
     return depth, flat.overflow
 
 
-def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
+def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -308,8 +313,9 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
     npb = BAND_H * DTILE_W
+    y0arr = jnp.full((1,), y0, jnp.int32)
 
-    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, out_ref, depth_ref):
+    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, out_ref, depth_ref):
         s = pl.program_id(0)
         i = st_ref[s]
         kind = sk_ref[s]
@@ -319,7 +325,7 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
         col = i - row * n_cols
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
         pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
-        py0 = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
+        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + 0.5
 
         @pl.when((kind == 0) & (chunk == 0))
         def _init():
@@ -361,15 +367,15 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
             out_ref[0] = depth_ref[...].reshape(DTILE_H, DTILE_W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # step_tile, step_kind, step_chunk, chunk_base, meta
+        num_scalar_prefetch=6,  # y0, step_tile, step_kind, step_chunk, chunk_base, meta
         grid=(S,),
         in_specs=[
             pl.BlockSpec(
                 (CHUNK, SETUP_W),
-                lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+                lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
             ),
         ],
-        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0)),
+        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0)),
         scratch_shapes=[pltpu.VMEM((N_BANDS, npb), jnp.float32)],
     )
     tiles = pl.pallas_call(
@@ -377,7 +383,7 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(st, sk, sc, flat.chunk_base, flat.group_meta, bset)
+    )(y0arr, st, sk, sc, flat.chunk_base, flat.group_meta, bset)
     return tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
 
 
@@ -391,6 +397,7 @@ def raster_resolve(
     bound: jnp.ndarray = None,  # optional (H, W) exclusive reverse-Z upper bound
     interpret: bool = False,
     flat_mult: int = 1,
+    y0=0,
 ) -> Tuple[GBuffer, jnp.ndarray]:
     """The fused raster + resolve Pallas kernel over chunk-packed per-tile
     lists.
@@ -411,7 +418,7 @@ def raster_resolve(
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult)
+    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult, y0=y0)
 
     gi = jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)
     bset = tris.setup[gi]      # (cap, SETUP_W)
@@ -421,6 +428,7 @@ def raster_resolve(
     flat, bset, bplanes, st, sk, sc = jax.lax.optimization_barrier(
         (flat, bset, bplanes, st, sk, sc)
     )
+    y0arr = jnp.full((1,), y0, jnp.int32)
 
     npb = BAND_H * DTILE_W
     if bound is not None:
@@ -432,7 +440,7 @@ def raster_resolve(
             .reshape(n_tiles, N_BANDS, npb)
         )
 
-    def kernel(st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, *rest):
+    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, *rest):
         if bound is not None:
             bnd_ref, out_ref, depth_ref, win_ref, coef_ref = rest
         else:
@@ -446,7 +454,7 @@ def raster_resolve(
         col = i - row * n_cols
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
         pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
-        py0 = (lane // DTILE_W).astype(jnp.float32) + (row * DTILE_H).astype(jnp.float32) + 0.5
+        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + 0.5
 
         @pl.when((kind == 0) & (chunk == 0))
         def _init():
@@ -561,25 +569,25 @@ def raster_resolve(
     in_specs = [
         pl.BlockSpec(
             (CHUNK, SETUP_W),
-            lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
         ),
         pl.BlockSpec(
             (CHUNK, PLANES_W),
-            lambda s, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
         ),
     ]
     inputs = [bset, bplanes]
     if bound is not None:
         in_specs.append(
-            pl.BlockSpec((1, N_BANDS, npb), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0))
+            pl.BlockSpec((1, N_BANDS, npb), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0))
         )
         inputs.append(bound_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(S,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, GB_CH, DTILE_H, DTILE_W), lambda s, st, sk, sc, cb, mt: (st[s], 0, 0, 0)
+            (1, GB_CH, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((N_BANDS, npb), jnp.float32),
@@ -593,7 +601,7 @@ def raster_resolve(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(st, sk, sc, flat.chunk_base, flat.group_meta, *inputs)
+    )(y0arr, st, sk, sc, flat.chunk_base, flat.group_meta, *inputs)
 
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)

@@ -46,6 +46,10 @@ class BinnedTris(NamedTuple):
     ids: jnp.ndarray     # (n_tiles, K) i32 indices into the setup table
     counts: jnp.ndarray  # (n_tiles,) i32
     overflow: jnp.ndarray  # () i32 total dropped (tiles over capacity)
+    need: jnp.ndarray    # () i32 max raw per-tile count (pre-clamp): the
+    #                      tile capacity this frame actually needed, so the
+    #                      host can jump caps straight there in ONE regrow
+    #                      instead of doubling through multi-minute compiles
 
 
 def _compact(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -95,11 +99,17 @@ def _compact_rows(mask: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray
 
 def _screen_tests(
     clip, valid, width, height, *, cull_mode, front_is_cw, subpixel,
-    hiz=None, hiz_interpret=False,
+    hiz=None, hiz_interpret=False, y_range=None,
 ):
     """Shared culling tests (cull.wgsl): degenerate/backface/frustum/
     sub-pixel and the optional Hi-Z occlusion query. Returns
-    (keep, x, y, z, area2, bbox mins/maxs)."""
+    (keep, x, y, z, area2, bbox mins/maxs).
+
+    y_range: optional traced (y0, y1) restricting the viewport reject to a
+    horizontal band of the full target — the multi-chip screen-tile path
+    renders one band per chip with ABSOLUTE pixel coordinates (the viewport
+    transform always uses the full height), so per-pixel results are
+    bit-identical to the single-chip program."""
     from .raster import CullMode, _top_left
 
     w = clip[..., 3]
@@ -122,7 +132,8 @@ def _screen_tests(
     ymin = y.min(axis=1)
     ymax = y.max(axis=1)
     # viewport reject
-    keep = keep & (xmax > 0.0) & (xmin < width) & (ymax > 0.0) & (ymin < height)
+    y_lo, y_hi = (0.0, float(height)) if y_range is None else y_range
+    keep = keep & (xmax > 0.0) & (xmin < width) & (ymax > y_lo) & (ymin < y_hi)
 
     if subpixel:
         # Sub-pixel cull: bbox contains no pixel center (cull.wgsl:221-236,
@@ -146,7 +157,7 @@ def _screen_tests(
 
 def visibility_mask(
     clip, valid, width, height, *, cull_mode, front_is_cw, subpixel,
-    hiz, hiz_interpret=False,
+    hiz, hiz_interpret=False, y_range=None,
 ):
     """Per-row potentially-visible mask: the same tests as cull_and_setup
     including the Hi-Z occlusion query, without building a setup table.
@@ -156,7 +167,7 @@ def visibility_mask(
     keep, *_ = _screen_tests(
         clip, valid, width, height, cull_mode=cull_mode,
         front_is_cw=front_is_cw, subpixel=subpixel, hiz=hiz,
-        hiz_interpret=hiz_interpret,
+        hiz_interpret=hiz_interpret, y_range=y_range,
     )
     return keep
 
@@ -174,6 +185,7 @@ def cull_and_setup(
     hiz: Optional[jnp.ndarray] = None,  # optional (levels...) pyramid, see hi_z.py
     hiz_mips=None,
     hiz_interpret: bool = False,
+    y_range=None,
 ) -> TriSetup:
     """Cull, compute edge/depth planes, compact. cap defaults to T."""
     from .raster import CullMode, _top_left
@@ -184,7 +196,7 @@ def cull_and_setup(
     keep, x, y, z, area2 = _screen_tests(
         clip, valid, width, height, cull_mode=cull_mode,
         front_is_cw=front_is_cw, subpixel=subpixel, hiz=hiz,
-        hiz_interpret=hiz_interpret,
+        hiz_interpret=hiz_interpret, y_range=y_range,
     )
     xmin = x.min(axis=1)
     xmax = x.max(axis=1)
@@ -284,17 +296,20 @@ def bin_triangles(
     row_cap: Optional[int] = None,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    y0=0,
 ) -> BinnedTris:
     """Two-level (tile-row then tile) compaction binning.
 
     Returns per-tile id lists into the setup table. Tiles are (TILE_H,
     TILE_W) pixels, row-major. width/height are padded sizes (multiples of
-    TILE_W / TILE_H).
+    TILE_W / TILE_H). y0: optional traced absolute row of the first tile
+    row (multi-chip band rendering): tile r covers rows [y0 + r*tile_h, ...).
     """
     V = tris.setup.shape[0]
     n_rows = height // tile_h
     n_cols = width // tile_w
     row_cap = row_cap or min(V, 1 << 14)
+    y0f = jnp.asarray(y0, jnp.float32)
 
     xmin, ymin, xmax, ymax = tris.bbox[:, 0], tris.bbox[:, 1], tris.bbox[:, 2], tris.bbox[:, 3]
 
@@ -302,7 +317,7 @@ def bin_triangles(
         # Single level: (n_tiles, V) overlap mask + gather-compaction.
         tid = jnp.arange(n_rows * n_cols)
         tx0 = ((tid % n_cols) * tile_w).astype(jnp.float32)[:, None]
-        ty0 = ((tid // n_cols) * tile_h).astype(jnp.float32)[:, None]
+        ty0 = ((tid // n_cols) * tile_h).astype(jnp.float32)[:, None] + y0f
         mask = (
             (xmax[None, :] > tx0)
             & (xmin[None, :] < tx0 + tile_w)
@@ -311,12 +326,13 @@ def bin_triangles(
         )
         ids, counts = _compact_rows(mask, tile_cap)
         overflow = jnp.maximum(counts - tile_cap, 0).sum()
-        return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow)
+        return BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap),
+                          overflow=overflow, need=counts.max())
 
     # Two level (large scenes): tile rows first, then columns, both
     # gather-compacted.
     rows = jnp.arange(n_rows, dtype=jnp.float32)[:, None]
-    rmask = (ymax[None, :] > rows * tile_h) & (ymin[None, :] < (rows + 1) * tile_h)  # (R, V)
+    rmask = (ymax[None, :] > y0f + rows * tile_h) & (ymin[None, :] < y0f + (rows + 1) * tile_h)  # (R, V)
     row_ids, _ = _compact_rows(rmask, row_cap)
 
     live = row_ids >= 0
@@ -333,7 +349,8 @@ def bin_triangles(
     overflow = jnp.maximum(counts - tile_cap, 0).sum()
     return jax.tree_util.tree_map(
         jax.lax.optimization_barrier,
-        BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap), overflow=overflow),
+        BinnedTris(ids=ids, counts=jnp.minimum(counts, tile_cap),
+                   overflow=overflow, need=counts.max()),
     )
 
 
@@ -363,6 +380,7 @@ def pack_chunks(
     cap_total: int,
     max_chunks: int,
     group: int = 8,
+    y0=0,
 ) -> FlatChunks:
     nT, K = binned.ids.shape
     counts = jnp.minimum(binned.counts, max_chunks * chunk)
@@ -390,7 +408,7 @@ def pack_chunks(
     g = jnp.clip(ids, 0, tris.setup.shape[0] - 1)
     ymin = jnp.where(ids >= 0, tris.bbox[g, 1], 1e9)
     ymax = jnp.where(ids >= 0, tris.bbox[g, 3], -1e9)
-    tile_y0 = ((t // n_cols) * (n_bands * band_h)).astype(jnp.float32)
+    tile_y0 = ((t // n_cols) * (n_bands * band_h)).astype(jnp.float32) + jnp.asarray(y0, jnp.float32)
     b = jnp.arange(n_bands, dtype=jnp.float32)
     band_top = tile_y0[:, None] + b[None, :] * band_h     # (cap_total, nb)
     overlap = (ymax[:, None] > band_top) & (ymin[:, None] < band_top + band_h)

@@ -95,7 +95,9 @@ def pair_lists(
     cap: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-screen-tile source-cell lists: ids (nT, cap) into the flat cell
-    grid (-1 padded), counts (nT,), band bits (nT, cap), overflow ().
+    grid (-1 padded), counts (nT,), band bits (nT, cap), need () — the max
+    raw per-tile pair count (pre-clamp), i.e. the pair cap this frame
+    actually required; the host jumps the cap straight there on overflow.
 
     A pixel addresses the cell containing its base texel; the offset
     footprint stays inside that cell's halo by construction. Band bit b is
@@ -136,19 +138,42 @@ def pair_lists(
     ids, counts = _compact_rows(occ_bits > 0, cap)
     bits = jnp.take_along_axis(occ_bits, jnp.clip(ids, 0, Gy * Gx - 1), axis=1)
     bits = jnp.where(ids >= 0, bits, 0)
-    overflow = jnp.maximum(counts - cap, 0).sum()
-    return ids, jnp.minimum(counts, cap), bits, overflow
+    need = counts.max()
+    return ids, jnp.minimum(counts, cap), bits, need
 
 
 
 
-def _pair_step_tables(counts: jnp.ndarray, nT: int, cap: int, slack_tiles: int = 16):
+INIT_BIT = N_BANDS  # step_flags bit marking a tile's first (init) step
+
+
+def _pair_step_tables(
+    counts: jnp.ndarray,   # (nT,) real pair count per screen tile
+    pids: jnp.ndarray,     # (nT*cap,) source-cell id per (tile, j) slot
+    bits: jnp.ndarray,     # (nT*cap,) band-occupancy bits per slot
+    nT: int,
+    cap: int,
+    slack_tiles: int = 16,
+):
     """1D work queue over actual (screen tile, source cell) pairs: one grid
     step per real pair plus one init step per pair-less tile. Returns
-    (step_tile, step_j, n_steps_static, total_overflow). A 2D (tile, cap)
-    grid pays the Mosaic step overhead for every empty slot, making kernel
-    time scale with the pair CAPACITY (adaptive cap growth turned a
-    ~1k-pair frame into a quarter-million grid steps)."""
+    (step_tile, step_pid, step_flags, n_steps_static, queue_need) —
+    queue_need is the pair cap the step-queue budget S(cap) would have
+    needed to hold every real pair (0 when everything fit).
+
+    Two sizing rules learned the hard way:
+      * a 2D (tile, cap) grid pays the Mosaic step overhead for every empty
+        slot, making kernel time scale with the pair CAPACITY (adaptive cap
+        growth turned a ~1k-pair frame into a quarter-million grid steps);
+      * the per-pair tables must be folded into per-STEP tables here on the
+        host side — prefetching the raw (nT*cap) pids/bits into SMEM walks
+        off the ~1 MB SMEM cliff at representative scale (nT=2040, cap=64
+        is 510 KB per table; round-2 bench crash).
+
+    step_flags packs the pair's band bits (bits 0..N_BANDS-1; zero for
+    padding steps so no work fires) plus INIT_BIT for each tile's first
+    step (the kernel zeroes the output block there).
+    """
     per_tile = jnp.maximum(counts, 1)
     base = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
@@ -161,8 +186,16 @@ def _pair_step_tables(counts: jnp.ndarray, nT: int, cap: int, slack_tiles: int =
     pad = s >= total
     step_tile = jnp.where(pad, nT - 1, tile).astype(jnp.int32)
     step_j = jnp.where(pad, cap, jnp.minimum(j, cap)).astype(jnp.int32)
-    overflow = jnp.maximum(total - S, 0)
-    return step_tile, step_j, S, overflow
+    real = (~pad) & (step_j < counts[step_tile])
+    flat = step_tile * cap + jnp.minimum(step_j, cap - 1)
+    step_pid = jnp.where(real, pids[flat], 0).astype(jnp.int32)
+    init = jnp.where(step_j == 0, jnp.int32(1 << INIT_BIT), 0)
+    step_flags = (jnp.where(real, bits[flat], 0) | init).astype(jnp.int32)
+    # S = 5*nT + slack_tiles*cap: invert for the cap that makes S >= total.
+    queue_need = jnp.where(
+        total > S, -(-(total - (S - slack_tiles * cap)) // slack_tiles), 0
+    ).astype(jnp.int32)
+    return step_tile, step_pid, step_flags, S, queue_need
 
 
 def sample_grid(
@@ -178,7 +211,9 @@ def sample_grid(
     """img[by+dy, bx+dx] for every pixel and every static offset.
 
     Returns values (n_off, H, W) f32 (0.0 where invalid / out of grid /
-    dropped by pair overflow) and the pair-overflow counter.
+    dropped by pair overflow) and the needed pair cap (compare to the
+    static pair_cap: > means pairs were dropped and the host should rebuild
+    with cap = the returned value).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -200,11 +235,11 @@ def sample_grid(
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
-    ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
+    ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
-    st, sj, S, qovf = _pair_step_tables(counts, nT, cap)
-    overflow = overflow + qovf
+    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    need = jnp.maximum(need, qneed)
 
     # Pixel coords, pixels-on-LANES layout (nT, 2, npx): one-hot rows live on
     # sublanes so every block is padding-free and no in-kernel relayouts occur.
@@ -222,21 +257,20 @@ def sample_grid(
 
     npb = BAND_H * STILE_W
 
-    def kernel(st_ref, sj_ref, counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, out_ref):
+    def kernel(st_ref, spid_ref, sflags_ref, tile_ref, coords_ref, out_ref):
         s = pl.program_id(0)
-        i = st_ref[s]
-        j = sj_ref[s]
+        flags = sflags_ref[s]
         sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
         sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
 
-        @pl.when(j == 0)
+        @pl.when(((flags >> INIT_BIT) & 1) != 0)
         def _init():
             out_ref[...] = jnp.zeros((1, OL, npx), jnp.float32)
 
-        @pl.when(j < counts_ref[i])
+        @pl.when((flags & ((1 << N_BANDS) - 1)) != 0)
         def _pair():
-            pid = pids_ref[i * cap + j]
-            pbits = bits_ref[i * cap + j]
+            pid = spid_ref[s]
+            pbits = flags
             cy = pid // Gx
             cx = pid - cy * Gx
             for b in range(N_BANDS):
@@ -275,29 +309,24 @@ def sample_grid(
                     out_ref[0, :, sl] = out_ref[0, :, sl] + jnp.concatenate(cols, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # step_tile, step_j, counts, pids, bits
+        num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
         grid=(S,),
         in_specs=[
-            pl.BlockSpec(
-                (1, R, STILE_W),
-                lambda s, st, sj, c, p, bb: (
-                    p[st[s] * cap + jnp.minimum(sj[s], cap - 1)], 0, 0,
-                ),
-            ),
-            pl.BlockSpec((1, 2, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
+            pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, OL, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
+        out_specs=pl.BlockSpec((1, OL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nT, OL, npx), jnp.float32),
         interpret=interpret,
-    )(st, sj, counts, pids, bits, grid.tiles, coords)
+    )(st, spid, sflags, grid.tiles, coords)
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
-    return out, overflow
+    return out, need
 
 
 def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
@@ -341,7 +370,7 @@ def sample_grid_bilinear(
 
     Returns (C, H, W) with wt * bilerp(planes[c], by+fy, bx+fx) per pixel
     (0 where invalid / out of grid / dropped by pair overflow), plus the
-    pair-overflow counter.
+    needed pair cap (> pair_cap means pairs were dropped).
 
     The trick over sample_grid: the lerp weights ride IN the one-hot
     vectors — ohy has two nonzeros (1-fy @ rel_y, fy @ rel_y+1) so one
@@ -367,11 +396,11 @@ def sample_grid_bilinear(
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
-    ids, counts, bits, overflow = pair_lists(bx, by, valid, Gy, Gx, cap)
+    ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
-    st, sj, S, qovf = _pair_step_tables(counts, nT, cap)
-    overflow = overflow + qovf
+    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    need = jnp.maximum(need, qneed)
 
     def tile_flat(a):
         return (
@@ -390,21 +419,20 @@ def sample_grid_bilinear(
 
     npb = BAND_H * STILE_W
 
-    def kernel(st_ref, sj_ref, counts_ref, pids_ref, bits_ref, tile_ref, coords_ref, fracs_ref, out_ref):
+    def kernel(st_ref, spid_ref, sflags_ref, tile_ref, coords_ref, fracs_ref, out_ref):
         s = pl.program_id(0)
-        i = st_ref[s]
-        j = sj_ref[s]
+        flags = sflags_ref[s]
         subR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
 
-        @pl.when(j == 0)
+        @pl.when(((flags >> INIT_BIT) & 1) != 0)
         def _init():
             out_ref[...] = jnp.zeros((1, CL, npx), jnp.float32)
 
-        @pl.when(j < counts_ref[i])
+        @pl.when((flags & ((1 << N_BANDS) - 1)) != 0)
         def _pair():
-            pid = pids_ref[i * cap + j]
-            pbits = bits_ref[i * cap + j]
+            pid = spid_ref[s]
+            pbits = flags
             cy = pid // Gx
             cx = pid - cy * Gx
             for b in range(N_BANDS):
@@ -439,27 +467,22 @@ def sample_grid_bilinear(
                         out_ref[0, c, sl] = out_ref[0, c, sl] + val[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # step_tile, step_j, counts, pids, bits
+        num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
         grid=(S,),
         in_specs=[
-            pl.BlockSpec(
-                (1, R, C * STILE_W),
-                lambda s, st, sj, c, p, bb: (
-                    p[st[s] * cap + jnp.minimum(sj[s], cap - 1)], 0, 0,
-                ),
-            ),
-            pl.BlockSpec((1, 2, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
-            pl.BlockSpec((1, 3, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
+            pl.BlockSpec((1, R, C * STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+            pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, CL, npx), lambda s, st, sj, c, p, bb: (st[s], 0, 0)),
+        out_specs=pl.BlockSpec((1, CL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nT, CL, npx), jnp.float32),
         interpret=interpret,
-    )(st, sj, counts, pids, bits, grid.tiles, coords, fracs)
+    )(st, spid, sflags, grid.tiles, coords, fracs)
 
     out = out[:, :C].reshape(n_rows, n_cols, C, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(C, H, W)
-    return out, overflow
+    return out, need

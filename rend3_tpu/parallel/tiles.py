@@ -1,136 +1,91 @@
 """Multi-chip screen-tile sharding.
 
 The TPU-native "communication backend" the reference never needed
-(SURVEY.md §2.9): the frame is data-parallel over screen tiles — each chip
-rasterizes + shades a horizontal band of the target, with the scene state
-(geometry arenas, object/material/light tables) replicated across the mesh.
-Shadow views are round-robined across chips and exchanged with an
-all_gather over ICI so every chip sees the full atlas before shading.
+(SURVEY.md §2.9): the frame is data-parallel over screen row-bands — each
+chip runs the SAME deferred pipeline as the single-chip program
+(routine/base.py `_build_program(key, band=...)`) restricted to its band,
+with the scene state (geometry arenas, object/material/light tables)
+replicated across the mesh. Because the band frame computes pixel
+coordinates as absolute full-target values (integer row offsets added
+before any float math), the sharded image is bit-identical to the
+single-chip render.
 
-Built on `jax.sharding.Mesh` + `shard_map`; XLA inserts the collectives.
+Shadow maps are row-sharded the same way — each chip rasterizes a band of
+every map, then an all_gather over ICI reassembles the full map on every
+chip before the PCF resolve. Built on `jax.sharding.Mesh` + `shard_map`;
+XLA inserts the collectives.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import blit as blit_ops
-from ..ops import raster as raster_ops
-from ..ops import shade as shade_ops
-from ..ops import transform as transform_ops
+__all__ = ["device_mesh", "build_tiled_frame_callable", "TILE_AXIS"]
 
-__all__ = ["make_tiled_frame_program", "device_mesh"]
+TILE_AXIS = "tiles"
 
 
 def device_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), ("tiles",))
+    return Mesh(np.array(devs[:n]), (TILE_AXIS,))
 
 
-def make_tiled_frame_program(
-    mesh: Mesh,
-    width: int,
-    height: int,
+def build_tiled_frame_callable(
+    graph,
+    eval_output,
+    target,
+    settings=None,
+    skybox_slot=None,
     *,
-    samples: int = 1,
-    front_cw: bool = True,
-    shadow_plan: Tuple = (),
-    atlas_extent: Tuple[int, int] = (32, 32),
+    mesh: Optional[Mesh] = None,
 ):
-    """Build a jitted multi-chip frame program.
+    """(jitted multi-chip program, args): the screen-band-sharded frame.
 
-    Every input is replicated; the output image is sharded by rows. Each
-    shadow-plan entry is rendered by `plan_index % n_devices` only, then the
-    atlas is psum-combined over ICI (each chip contributes a disjoint region).
+    The args tuple is EXACTLY the single-chip `build_frame_callable` args
+    (all replicated); the output image is row-sharded over the mesh. The
+    full pass list survives sharding: cull -> binned raster -> G-buffer ->
+    cutout peels -> per-light shadow maps (row-sharded + all_gather) -> PCF
+    resolve -> textured lighting -> blend peels -> tonemap
+    (ref rend3-routine/src/base.rs:129-185).
     """
-    n = mesh.devices.size
-    assert height % n == 0, f"height {height} must divide by device count {n}"
-    tile_h = height // n
-    sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
-    aw, ah = atlas_extent
+    from ..routine.base import BaseRenderGraphSettings
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
-        ),
-        out_specs=P("tiles"),
-        check_vma=False,
+    settings = settings or BaseRenderGraphSettings()
+    mesh = mesh or device_mesh()
+    n = int(mesh.devices.size)
+    assert target.height % n == 0, (
+        f"target height {target.height} must divide across {n} devices"
     )
-    def tiled_frame(
-        geo_pos,
-        geo_nrm,
-        geo_tan,
-        geo_uv0,
-        geo_uv1,
-        geo_col,
-        tri_vlocal,
-        tri_obj,
-        transforms,
-        visible,
-        bases,
-        material_slots,
-        mat_tables,
-        light_arrays,
-        cam_mats,
-    ):
-        from ..core.framestate import GeometryArrays
+    band_h = target.height // n
 
-        geo = GeometryArrays(geo_pos, geo_nrm, geo_tan, geo_uv0, geo_uv1, geo_col)
-        mat_data, mat_flags, mat_tex = mat_tables
-        dir_lights, point_lights = light_arrays
-        view, proj, uniforms = cam_mats
-        materials = shade_ops.PbrMaterialTable(mat_data, mat_flags, mat_tex)
+    _, args = graph.build_frame_callable(eval_output, target, settings, skybox_slot)
+    key = graph._last_key
+    tkey = ("tiled", key, band_h, n)
+    tiled = graph._program_cache.get(tkey)
+    if tiled is None:
+        frame_band = graph._build_program(key, band=(band_h, TILE_AXIS, n))
 
-        tile_idx = jax.lax.axis_index("tiles")
-        row0 = tile_idx * tile_h
+        def chip_frame(*a):
+            out, _mask, aux = frame_band(*a)
+            # Every aux slot is a needed-capacity maximum (survivor counts,
+            # per-tile needs, tile multipliers); each chip has its own
+            # arrays of the same capacity, so the global need is the MAX
+            # over chips, not the sum.
+            return out, jax.lax.pmax(aux, TILE_AXIS)
 
-        # ---- shadow views: round-robin across chips, exchange via psum ----
-        shadow_atlas = jnp.zeros((ah, aw), jnp.float32)
-        for k, (li, (ox, oy), size) in enumerate(shadow_plan):
-            svp = dir_lights.view_proj[k]
-            _, smvp = transform_ops.object_uniforms(transforms, svp, jnp.eye(4))
-            svalid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
-            sclip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp)
-            sclipped = transform_ops.clip_triangles(sclip, svalid)
-            svis = raster_ops.rasterize(
-                sclipped.clip, sclipped.valid, size, size,
-                cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
-                sample_offsets=raster_ops.CENTER_OFFSET,
-            )
-            mine = (k % n) == tile_idx
-            contribution = jnp.where(mine, svis.depth[0], 0.0)
-            shadow_atlas = jax.lax.dynamic_update_slice(shadow_atlas, contribution, (oy, ox))
-        if shadow_plan:
-            # Disjoint per-chip contributions -> sum == gather over ICI.
-            shadow_atlas = jax.lax.psum(shadow_atlas, "tiles")
-
-        # ---- main pass over this chip's row band ----
-        mv, mvp = transform_ops.object_uniforms(transforms, view, proj)
-        valid = (tri_obj >= 0) & visible[jnp.maximum(tri_obj, 0)]
-        clip = transform_ops.gather_tri_clip(geo.position, tri_vlocal, tri_obj, bases[:, 0], mvp)
-        clipped = transform_ops.clip_triangles(clip, valid)
-        vis = raster_ops.rasterize(
-            clipped.clip, clipped.valid, width, height,
-            cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
-            sample_offsets=sample_offsets,
-            origin=(0, row0), tile=(width, tile_h),
+        sm = jax.shard_map(
+            chip_frame,
+            mesh=mesh,
+            in_specs=P(),                      # scene state fully replicated
+            out_specs=(P(TILE_AXIS), P()),     # image row-sharded; aux replicated
+            check_vma=False,
         )
-        img = shade_ops.shade_deferred(
-            vis, clipped, tri_vlocal, tri_obj, geo, bases, mv, material_slots,
-            materials, dir_lights, point_lights, shadow_atlas, uniforms,
-            width, height, sample_offsets, origin=(0, row0),
-        )
-        img = blit_ops.f16_roundtrip(img)
-        resolved = blit_ops.resolve_samples(img)
-        return blit_ops.hdr_to_srgb_u8(resolved)
-
-    return jax.jit(tiled_frame)
+        tiled = jax.jit(sm)
+        graph._program_cache[tkey] = tiled
+    return tiled, args

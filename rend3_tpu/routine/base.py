@@ -164,8 +164,17 @@ class BaseRenderGraph:
         skybox_slot: Optional[int] = None,
     ) -> np.ndarray:
         """Renders and returns an (H, W, 4) u8 sRGB image."""
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
         for _attempt in range(8):
+            t0 = _time.perf_counter()
             program, args = self.build_frame_callable(eval_output, target, settings, skybox_slot)
+            log.info(
+                "render_frame attempt %d: callable in %.1fs (programs cached: %d, caps: %s)",
+                _attempt, _time.perf_counter() - t0, len(self._program_cache), self._caps,
+            )
             try:
                 out = program(*args)
             except Exception as e:  # surface typed OOM (ref error.rs LowDeviceLimit)
@@ -176,6 +185,10 @@ class BaseRenderGraph:
                 raise
             img, mask, aux = out
             counts = np.asarray(jax.device_get(aux))
+            log.info(
+                "render_frame attempt %d: compile+run %.1fs, aux=%s",
+                _attempt, _time.perf_counter() - t0, counts.tolist(),
+            )
             if not self._grow_caps(counts):
                 break
         if mask.shape[0] > 1:
@@ -185,51 +198,105 @@ class BaseRenderGraph:
     def _grow_caps(self, counts: np.ndarray) -> bool:
         """Grow survivor/tile capacities from the frame's aux counters; True
         if a capacity changed (the frame dropped geometry and must
-        re-render). aux layout: [main_count, shadow_count_max,
-        main_bin_overflow, shadow_bin_overflow, pair_overflow]."""
+        re-render).
+
+        Every counter that matters carries the capacity the frame actually
+        NEEDED (max per-tile counts, needed tile multipliers), not a dropped
+        total, so one regrow jumps straight to the right pow2 bucket — a TPU
+        whole-frame compile is minutes, and the old doubling walk turned one
+        overflow into a ladder of them (VERDICT r2 weak #8).
+
+        aux layout: [0 main_count, 1 shadow_count_max, 2 main_bin_overflow,
+        3 shadow_bin_overflow, 4 shadow_pair_need, 5 tex_pair_need,
+        6 resid_count, 7 blend_deep_px, 8 main_tile_mult_need,
+        9 shadow_tile_mult_need]."""
+        import logging
+
+        log = logging.getLogger(__name__)
         main_cap, shadow_cap, resid_cap = (
             self._last_caps if len(self._last_caps) == 3 else (*self._last_caps, 1 << 30)
         )
         grew = False
+
+        def at(i, default=0):
+            return int(counts[i]) if len(counts) > i else default
+
         if counts[0] > main_cap:
             self._caps["main"] = _pad_pow2(int(counts[0]), minimum=4096)
             grew = True
         if counts[1] > shadow_cap:
             self._caps["shadow"] = _pad_pow2(int(counts[1]), minimum=4096)
             grew = True
-        if counts[2] > 0 and self._caps["tile_main_mult"] < 64:
-            self._caps["tile_main_mult"] *= 2
+
+        # Tile-list multipliers: jump to the needed pow2 bucket directly;
+        # fall back to doubling when only the flat-list budget overflowed
+        # (aux 2/3 > 0 with the K-need satisfied).
+        for mult_key, need_i, ovf_i, ceiling in (
+            ("tile_main_mult", 8, 2, 256),
+            ("tile_shadow_mult", 9, 3, 256),
+        ):
+            cur = self._caps[mult_key]
+            need = at(need_i)
+            new = cur
+            if need > cur:
+                new = _pad_pow2(need, minimum=1)
+            elif at(ovf_i) > 0:
+                new = cur * 2
+            if new != cur:
+                if new > ceiling:
+                    log.warning(
+                        "%s needs %d > ceiling %d; geometry WILL drop in overflowing tiles",
+                        mult_key, new, ceiling,
+                    )
+                    new = ceiling
+                if new != cur:
+                    self._caps[mult_key] = new
+                    grew = True
+
+        # Gather pair caps: aux carries the needed cap (max per-tile pairs
+        # incl. the step-queue budget); jump straight there.
+        for cap_key, need_i, default, ceiling in (
+            ("shadow_pair", 4, 32, 1024),
+            ("tex_pair", 5, 16, 512),
+        ):
+            cur = self._caps.get(cap_key, default)
+            need = at(need_i)
+            if need > cur:
+                new = min(_pad_pow2(need, minimum=default), ceiling)
+                if new > cur:
+                    self._caps[cap_key] = new
+                    grew = True
+                if need > ceiling:
+                    log.warning(
+                        "%s needs %d > ceiling %d; samples WILL drop in overflowing tiles",
+                        cap_key, need, ceiling,
+                    )
+
+        if at(6) > resid_cap:
+            self._caps["resid"] = _pad_pow2(at(6), minimum=4096)
             grew = True
-        if counts[3] > 0 and self._caps["tile_shadow_mult"] < 64:
-            self._caps["tile_shadow_mult"] *= 2
-            grew = True
-        if len(counts) > 5 and counts[5] > 0 and self._caps.get("tex_pair", 16) < 256:
-            self._caps["tex_pair"] = self._caps.get("tex_pair", 16) * 2
-            grew = True
-        if counts[4] > 0 and self._caps.get("shadow_pair", 32) < 512:
-            self._caps["shadow_pair"] = self._caps.get("shadow_pair", 32) * 2
-            grew = True
-        if len(counts) > 6 and counts[6] > resid_cap:
-            self._caps["resid"] = _pad_pow2(int(counts[6]), minimum=4096)
-            grew = True
-        if len(counts) > 7 and counts[7] > 0 and self._caps.get("blend_peels", 2) < 16:
+        if at(7) > 0 and self._caps.get("blend_peels", 2) < 16:
             self._caps["blend_peels"] = self._caps.get("blend_peels", 2) * 2
             grew = True
         self.last_stats = {
             "main_survivors": int(counts[0]),
             "shadow_survivors": int(counts[1]),
             "bin_overflow": int(counts[2]) + int(counts[3]),
-            "sample_pair_overflow": int(counts[4]),
-            "tex_pair_overflow": int(counts[5]) if len(counts) > 5 else 0,
-            "resid_survivors": int(counts[6]) if len(counts) > 6 else 0,
+            "sample_pair_overflow": max(0, at(4) - self._caps.get("shadow_pair", 32)),
+            "tex_pair_overflow": max(0, at(5) - self._caps.get("tex_pair", 16)),
+            "resid_survivors": at(6),
         }
         if self.last_stats["bin_overflow"]:
-            import logging
-
-            logging.getLogger(__name__).warning(
+            log.warning(
                 "tile-bin overflow: %d triangle-tile pairs dropped (caps grown: %s)",
                 self.last_stats["bin_overflow"], grew,
             )
+        if grew:
+            # Capacities only grow, and every cached program baked the old
+            # caps into its key, so none can be hit again — drop them (and
+            # their XLA executables). Steady state then holds exactly the
+            # live program per configuration.
+            self._program_cache.clear()
         return grew
 
     def build_frame_callable(
@@ -443,6 +510,7 @@ class BaseRenderGraph:
             shadow_pair_cap,
             blend_tex_slots,
         )
+        self._last_key = key  # parallel/tiles.py builds the band variant from it
         program = self._program_cache.get(key)
         if program is None:
             program = self._build_program(key)
@@ -491,7 +559,13 @@ class BaseRenderGraph:
 
     # -- the jitted frame program ----------------------------------------------
 
-    def _build_program(self, key):
+    def _build_program(self, key, band=None):
+        """band=None: the single-chip program (jitted). band=(band_h,
+        axis_name, n_shards): the UNJITTED band frame for the multi-chip
+        screen-tile path (parallel/tiles.py) — the same pipeline rendering
+        the band_h rows starting at axis_index*band_h with absolute pixel
+        coordinates (bit-identical per pixel to the single-chip program),
+        shadow maps row-sharded across chips and all-gathered over ICI."""
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
          active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
@@ -499,6 +573,14 @@ class BaseRenderGraph:
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
+        if band is None:
+            band_h, shard_axis, n_shards = height, None, 1
+        else:
+            band_h, shard_axis, n_shards = band
+            assert backend != "reference" and samples == 1, (
+                "multi-chip path requires the deferred pipeline"
+            )
+            occlusion = False  # two-phase temporal culling is single-chip-only for now
 
         def frame(
             geo,
@@ -529,6 +611,18 @@ class BaseRenderGraph:
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
             use_deferred = backend != "reference" and samples == 1
+            # Band parameters: the rows this program instance renders.
+            # Single-chip: the full target (row0 = 0). Multi-chip: each
+            # chip's shard_map instance renders band_h rows at an absolute
+            # offset, with identical per-pixel math.
+            if shard_axis is None:
+                row0 = 0
+                y_range = None
+            else:
+                row0 = jax.lax.axis_index(shard_axis) * band_h
+                r0f = jnp.asarray(row0, jnp.float32)
+                y_range = (r0f, r0f + float(band_h))
+            bh = band_h
             # Capacity/overflow counters surfaced to the host (render_frame
             # grows survivor caps and re-renders on overflow).
             main_count = jnp.int32(0)
@@ -537,8 +631,16 @@ class BaseRenderGraph:
             shadow_counts = []
             bin_overflows = []
             shadow_bin_overflows = []
-            pair_overflows = []
-            tex_pair_overflows = []
+            pair_overflows = []      # needed pair caps (max aggregated)
+            tex_pair_overflows = []  # needed tex pair caps (max aggregated)
+            bin_needs = []           # needed tile mults, main-target rasters
+            shadow_bin_needs = []    # needed tile mults, shadow rasters
+
+            def _need_mult(binned, base_cap):
+                # tile-cap multiplier this bin actually required (static
+                # base_cap at trace time) — lets the host jump tmul straight
+                # to the right bucket instead of doubling per recompile.
+                return -(-binned.need // jnp.int32(max(1, base_cap)))
 
             # Pre-gather triangle corner positions once (post-skinning) and
             # share across the main + shadow + occlusion passes — the per-tri
@@ -547,9 +649,10 @@ class BaseRenderGraph:
                 tri_vlocal, tri_obj, bases[:, 0], geo.position.shape[0]
             )
             tri_pos = geo.position[tri_gid]
-            # Deferred mode resolves shadows without a shadow map (ops/shadow.py);
-            # the atlas is only rasterized for the forward paths that sample it.
-            need_atlas = (not use_deferred) or blend_vlocal.shape[0] > 0
+            # Deferred mode resolves shadows from per-light maps (shadow_values
+            # below); the atlas is only rasterized for the forward paths that
+            # sample it per fragment.
+            need_atlas = not use_deferred
 
             # ---- shadow passes (depth-only, cull FRONT faces) ----
             shadow_atlas = jnp.zeros((ah, aw), jnp.float32)
@@ -585,10 +688,11 @@ class BaseRenderGraph:
 
             # ---- background: clear color, then skybox where provided ----
             nsamp = len(sample_offsets)
-            background = jnp.broadcast_to(clear_color, (nsamp, height, width, 4))
+            background = jnp.broadcast_to(clear_color, (nsamp, bh, width, 4))
             if has_skybox:
                 background = _skybox_background(
-                    cube_textures, skybox_slot, uniforms, width, height, sample_offsets
+                    cube_textures, skybox_slot, uniforms, width, height, sample_offsets,
+                    row0=row0, band_h=bh,
                 )
 
             if use_deferred:
@@ -600,7 +704,7 @@ class BaseRenderGraph:
 
                 interp = backend != "pallas"
                 wp = _round_up(width, def_ops.DTILE_W)
-                hp = _round_up(height, def_ops.DTILE_H)
+                hp = _round_up(bh, def_ops.DTILE_H)
 
                 # Cutout triangles render via the depth-peel loop below; the
                 # opaque raster passes (and so the Hi-Z occluder depth) carry
@@ -626,6 +730,7 @@ class BaseRenderGraph:
                         clipped.clip, pass_valid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
                         subpixel=True, hiz=hiz_p, hiz_interpret=interp, cap=cap,
+                        y_range=y_range,
                     )
                     t = jax.lax.optimization_barrier(t)
                     p = def_ops.attribute_planes(
@@ -637,10 +742,11 @@ class BaseRenderGraph:
                     b = geom_ops.bin_triangles(
                         t, wp, hp,
                         tile_cap=min(cap, _tile_cap_for(cap, n_tiles_d) * tmul_main),
-                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
                     )
+                    bin_needs.append(_need_mult(b, _tile_cap_for(cap, n_tiles_d)))
                     g, ovf = def_ops.raster_resolve(
-                        t, p, b, wp, hp, interpret=interp, flat_mult=tmul_main
+                        t, p, b, wp, hp, interpret=interp, flat_mult=tmul_main, y0=row0,
                     )
                     return t, def_ops.GBuffer(data=jax.lax.optimization_barrier(g.data)), ovf
 
@@ -705,7 +811,7 @@ class BaseRenderGraph:
                         clipped.clip, clipped.valid & cmask, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
                         subpixel=True, hiz=hiz_pyramid, hiz_interpret=interp,
-                        cap=main_cap,
+                        cap=main_cap, y_range=y_range,
                     )
                     planes_c = def_ops.attribute_planes(
                         tris_c, clipped.clip, clipped.bary, clipped.orig,
@@ -715,8 +821,9 @@ class BaseRenderGraph:
                     binned_c = geom_ops.bin_triangles(
                         tris_c, wp, hp,
                         tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
-                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
                     )
+                    bin_needs.append(_need_mult(binned_c, _tile_cap_for(main_cap, n_tiles_d)))
                     acc = gbuf_p.data
                     odepth = gbuf_p.data[def_ops.G_DEPTH]
                     done = jnp.zeros((hp, wp), bool)
@@ -724,7 +831,7 @@ class BaseRenderGraph:
                     for _peel in range(cutout_peels):
                         gbuf_c, ovf_c = def_ops.raster_resolve(
                             tris_c, planes_c, binned_c, wp, hp, bound=bound_img,
-                            interpret=interp, flat_mult=tmul_main,
+                            interpret=interp, flat_mult=tmul_main, y0=row0,
                         )
                         bin_overflows.append(ovf_c)
                         pass_img, tex_ovf = light_ops.cutout_alpha_pass(
@@ -752,12 +859,16 @@ class BaseRenderGraph:
                 # 1.0, so the lighting pass never touches the gather-PCF path.
                 if not plan:
                     Lcap = dir_lights.mask.shape[0]
-                    shadow_values = jnp.ones((Lcap, hp, wp), jnp.float32)[:, :height, :width]
+                    shadow_values = jnp.ones((Lcap, bh, width), jnp.float32)
                 else:
                     # Rasterize each light's depth map ONCE (the reference's
                     # shadow pass, base.rs shadow node); shadow VALUES are
                     # then resolved per G-buffer (opaque once, and again per
                     # blend peel at the transparent fragments' positions).
+                    # Multi-chip: each map's rows are sharded across chips
+                    # (the shadow-pass analog of screen-band sharding) and
+                    # exchanged with an all_gather over ICI so every chip
+                    # samples the full map.
                     smaps = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
                         svp = dir_lights.view_proj[k]
@@ -767,24 +878,44 @@ class BaseRenderGraph:
                             geo.position, tri_vlocal, tri_obj, bases[:, 0], smvp, tri_pos=tri_pos
                         )
                         sclipped = transform_ops.clip_triangles(sclip, svalid)
+                        swp = _round_up(size, def_ops.DTILE_W)
+                        if shard_axis is None:
+                            s_row0 = 0
+                            s_yr = None
+                            shp = _round_up(size, def_ops.DTILE_H)
+                        else:
+                            sbh = _round_up(-(-size // n_shards), def_ops.DTILE_H)
+                            s_row0 = jax.lax.axis_index(shard_axis) * sbh
+                            s_r0f = jnp.asarray(s_row0, jnp.float32)
+                            s_yr = (s_r0f, s_r0f + float(sbh))
+                            shp = sbh
                         stris = geom_ops.cull_and_setup(
                             sclipped.clip, sclipped.valid, size, size,
                             cull_mode=raster_ops.CullMode.FRONT, front_is_cw=front_cw,
                             subpixel=True,  # sub-texel casters can't mark any texel center
-                            cap=shadow_cap,
+                            cap=shadow_cap, y_range=s_yr,
                         )
-                        swp = _round_up(size, def_ops.DTILE_W)
-                        shp = _round_up(size, def_ops.DTILE_H)
                         n_tiles_s = (swp // def_ops.DTILE_W) * (shp // def_ops.DTILE_H)
                         sbinned = geom_ops.bin_triangles(
                             stris, swp, shp,
                             tile_cap=min(shadow_cap, _tile_cap_for(shadow_cap, n_tiles_s) * tmul_shadow),
-                            tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                            tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=s_row0,
                         )
-                        smap, sband_ovf = def_ops.raster_depth(stris, sbinned, swp, shp, interpret=interp, flat_mult=tmul_shadow)
+                        shadow_bin_needs.append(
+                            _need_mult(sbinned, _tile_cap_for(shadow_cap, n_tiles_s))
+                        )
+                        smap, sband_ovf = def_ops.raster_depth(
+                            stris, sbinned, swp, shp, interpret=interp,
+                            flat_mult=tmul_shadow, y0=s_row0,
+                        )
+                        if shard_axis is not None:
+                            smap = jax.lax.all_gather(smap, shard_axis, axis=0, tiled=True)
                         smaps.append(smap[:size, :size])
                         shadow_counts.append(stris.count)
                         shadow_bin_overflows.append(sband_ovf)
+
+                    if _DEBUG_STOP_AFTER == "smaps":
+                        return jnp.stack([jnp.pad(m, ((0, 2048 - m.shape[0]), (0, 2048 - m.shape[1]))) for m in smaps])
 
                 def mat_img(m, rows, img):  # matrix x image channels, VPU
                     cols = img.shape[0]
@@ -792,12 +923,12 @@ class BaseRenderGraph:
                         [sum(m[a, b] * img[b] for b in range(cols)) for a in range(rows)]
                     )
 
-                def shadow_values_for(gbuf_full):
-                    """(L, hp, wp) shadow factors at a padded G-buffer's
-                    fragment positions: world reconstruct -> light NDC -> 12
-                    MXU PCF taps against the prebuilt maps, with the
-                    reference's atlas-space bounds expressions
-                    (opaque.wgsl:509-514, incl. the any() quirk)."""
+                def shadow_coords_for(gbuf_full):
+                    """Per plan entry: (map idx, sx, sy, ref, in_bounds, hit)
+                    at a padded G-buffer's fragment positions: world
+                    reconstruct -> light NDC, with the reference's
+                    atlas-space bounds expressions (opaque.wgsl:509-514,
+                    incl. the any() quirk)."""
                     gp = gbuf_full.data
                     den = gp[def_ops.G_DEN]
                     invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
@@ -808,7 +939,7 @@ class BaseRenderGraph:
                     world4 = jax.lax.optimization_barrier(
                         jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
                     )
-                    svals = []
+                    out = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
                         svp = dir_lights.view_proj[k]
                         ndc = mat_img(svp, 4, world4)
@@ -817,12 +948,6 @@ class BaseRenderGraph:
                         sx = (ndc_xyz[0] * 0.5 + 0.5) * size
                         sy = (0.5 - ndc_xyz[1] * 0.5) * size
                         ref = ndc_xyz[2]
-                        occ, soverflow = shadow_ops.sample_shadow_map(
-                            smaps[k], sx, sy, hitp, pair_cap=shadow_pair_cap,
-                            interpret=interp,
-                        )
-                        pair_overflows.append(soverflow)
-                        pcf = shadow_ops.pcf5_from_occlusion(occ, sx, sy, ref)
                         flipped_x = ndc_xyz[0] * 0.5 + 0.5
                         flipped_y = ndc_xyz[1] * 0.5 + 0.5
                         border = dir_lights.inv_resolution[k] * 1.5
@@ -834,52 +959,44 @@ class BaseRenderGraph:
                             & (ref >= 0.0)
                             & (ref <= 1.0)
                         )
-                        svals.append(jnp.where(in_bounds, pcf, 1.0))
+                        out.append((k, sx, sy, ref, in_bounds, hitp))
+                    return out
+
+                def resolve_shadow_values(gbuf_list):
+                    """(L, hp, wp) shadow factors for EVERY G-buffer (opaque
+                    + all blend peels) through ONE stacked MXU gather launch
+                    (ops/shadow.py sample_shadow_maps): the reference resolves
+                    exactly one PCF per fragment (opaque.wgsl:471-520); one
+                    launch per (peel, light) was the round-2 frame's largest
+                    multiplier."""
+                    coords = [shadow_coords_for(g) for g in gbuf_list]
+                    entries = [
+                        (k, sx, sy, hitp)
+                        for per in coords
+                        for (k, sx, sy, ref, ib, hitp) in per
+                    ]
+                    occs, sovf = shadow_ops.sample_shadow_maps(
+                        smaps, entries, pair_cap=shadow_pair_cap, interpret=interp,
+                    )
+                    pair_overflows.append(sovf)
                     L = dir_lights.mask.shape[0]
-                    while len(svals) < L:
-                        svals.append(jnp.ones((hp, wp), jnp.float32))
-                    return jax.lax.optimization_barrier(jnp.stack(svals))
+                    outs = []
+                    i = 0
+                    for per in coords:
+                        svals = []
+                        for (k, sx, sy, ref, ib, hitp) in per:
+                            pcf = shadow_ops.pcf5_from_occlusion(occs[i], sx, sy, ref)
+                            svals.append(jnp.where(ib, pcf, 1.0))
+                            i += 1
+                        while len(svals) < L:
+                            svals.append(jnp.ones((hp, wp), jnp.float32))
+                        outs.append(jax.lax.optimization_barrier(jnp.stack(svals)))
+                    return outs
 
-                if plan:
-                    shadow_values = shadow_values_for(gbuf_p)[:, :height, :width]
-
-                if _DEBUG_STOP_AFTER == "shadow":
-                    return shadow_values
-                if has_tex and active_tex_slots:
-                    # The MXU texture sampler needs the (32, 128)-tileable
-                    # padded layout; light the padded G-buffer and crop after
-                    # (padding pixels are no-hit -> background).
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data)
-                    bg_p = jnp.pad(
-                        background[0], ((0, hp - height), (0, wp - width), (0, 0))
-                    )
-                    sv_p = (
-                        jnp.pad(shadow_values, ((0, 0), (0, hp - shadow_values.shape[1]), (0, wp - shadow_values.shape[2])))
-                        if shadow_values is not None else None
-                    )
-                    img, tex_ovf = light_ops.light_gbuffer(
-                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
-                        bg_p, textures=textures,
-                        shadow_values=sv_p,
-                        active_tex_slots=active_tex_slots,
-                        tex_pair_cap=tex_pair_cap, interpret=interp,
-                    )
-                    tex_pair_overflows.append(tex_ovf)
-                    img = img[:height, :width][None]
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
-                else:
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :height, :width])
-                    img = light_ops.light_gbuffer(
-                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
-                        background[0], textures=textures if has_tex else None,
-                        shadow_values=shadow_values,
-                    )[None]
-                if _DEBUG_STOP_AFTER == "light":
-                    return img
-                vis = raster_ops.VisBuffer(
-                    depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
-                )
-
+                # ---- blend-peel rasters (before shading: their shadow
+                # resolves join the opaque one in a single gather launch) ----
+                blend_gbufs = []
+                blend_bhits = []
                 if blend_peels:
                     # Transparent pass, deferred: per-pixel FRONT-to-back
                     # depth peeling with under-compositing replaces the
@@ -897,7 +1014,7 @@ class BaseRenderGraph:
                     tris_b = geom_ops.cull_and_setup(
                         bclipped.clip, bclipped.valid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
-                        subpixel=True, cap=btable,
+                        subpixel=True, cap=btable, y_range=y_range,
                     )
                     planes_b = def_ops.attribute_planes(
                         tris_b, bclipped.clip, bclipped.bary, bclipped.orig,
@@ -907,24 +1024,79 @@ class BaseRenderGraph:
                     binned_b = geom_ops.bin_triangles(
                         tris_b, wp, hp,
                         tile_cap=min(btable, _tile_cap_for(btable, n_tiles_d) * tmul_main),
-                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W,
+                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
                     )
+                    bin_needs.append(_need_mult(binned_b, _tile_cap_for(btable, n_tiles_d)))
                     odepth_b = gbuf_p.data[def_ops.G_DEPTH]
                     ohit_b = gbuf_p.data[def_ops.G_HIT] > 0.0
-                    C = jnp.zeros((hp, wp, 3), jnp.float32)
-                    A = jnp.zeros((hp, wp), jnp.float32)
-                    bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
                     bound_b = None
                     for _p in range(blend_peels):
                         gbuf_b, ovf_b = def_ops.raster_resolve(
                             tris_b, planes_b, binned_b, wp, hp, bound=bound_b,
-                            interpret=interp, flat_mult=tmul_main,
+                            interpret=interp, flat_mult=tmul_main, y0=row0,
                         )
                         bin_overflows.append(ovf_b)
                         bhit = (gbuf_b.data[def_ops.G_HIT] > 0.0) & (
                             ~ohit_b | (gbuf_b.data[def_ops.G_DEPTH] >= odepth_b)
                         )
-                        sv_b = shadow_values_for(gbuf_b) if plan else None
+                        blend_gbufs.append(gbuf_b)
+                        blend_bhits.append(bhit)
+                        bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
+
+                if _DEBUG_STOP_AFTER == "blendraster":
+                    return jnp.stack([g.data[def_ops.G_DEPTH] for g in blend_gbufs]) if blend_gbufs else gbuf_p.data[def_ops.G_DEPTH]
+
+                if plan:
+                    svs = resolve_shadow_values([gbuf_p] + blend_gbufs)
+                    shadow_values = svs[0][:, :bh, :width]
+                    blend_svs = svs[1:]
+                else:
+                    blend_svs = [None] * len(blend_gbufs)
+
+                if _DEBUG_STOP_AFTER == "shadow":
+                    return shadow_values
+                if has_tex and active_tex_slots:
+                    # The MXU texture sampler needs the (32, 128)-tileable
+                    # padded layout; light the padded G-buffer and crop after
+                    # (padding pixels are no-hit -> background).
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data)
+                    bg_p = jnp.pad(
+                        background[0], ((0, hp - bh), (0, wp - width), (0, 0))
+                    )
+                    sv_p = (
+                        jnp.pad(shadow_values, ((0, 0), (0, hp - shadow_values.shape[1]), (0, wp - shadow_values.shape[2])))
+                        if shadow_values is not None else None
+                    )
+                    img, tex_ovf = light_ops.light_gbuffer(
+                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
+                        bg_p, textures=textures,
+                        shadow_values=sv_p,
+                        active_tex_slots=active_tex_slots,
+                        tex_pair_cap=tex_pair_cap, interpret=interp,
+                    )
+                    tex_pair_overflows.append(tex_ovf)
+                    img = img[:bh, :width][None]
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :bh, :width])
+                else:
+                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :bh, :width])
+                    img = light_ops.light_gbuffer(
+                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
+                        background[0], textures=textures if has_tex else None,
+                        shadow_values=shadow_values,
+                    )[None]
+                if _DEBUG_STOP_AFTER == "light":
+                    return img
+                vis = raster_ops.VisBuffer(
+                    depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
+                )
+
+                if blend_peels:
+                    # Shade + composite the pre-rasterized peels (front to
+                    # back, under-compositing).
+                    C = jnp.zeros((hp, wp, 3), jnp.float32)
+                    A = jnp.zeros((hp, wp), jnp.float32)
+                    bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
+                    for gbuf_b, bhit, sv_b in zip(blend_gbufs, blend_bhits, blend_svs):
                         if has_tex and blend_tex_slots:
                             rgba_b, tovf = light_ops.light_gbuffer(
                                 gbuf_b, materials, dir_lights, point_lights,
@@ -945,9 +1117,8 @@ class BaseRenderGraph:
                         C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
                         A = A + (1.0 - A) * a
                         blend_deep_px = bhit.sum().astype(jnp.int32)
-                        bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
-                    Cc = C[:height, :width]
-                    Ac = A[:height, :width]
+                    Cc = C[:bh, :width]
+                    Ac = A[:bh, :width]
                     img = jnp.concatenate(
                         [
                             Cc + (1.0 - Ac)[..., None] * img[0][..., :3],
@@ -1006,26 +1177,35 @@ class BaseRenderGraph:
                     functools.reduce(jnp.maximum, shadow_counts, jnp.int32(0)),
                     sum(bin_overflows, jnp.int32(0)).astype(jnp.int32),
                     sum(shadow_bin_overflows, jnp.int32(0)).astype(jnp.int32),
-                    sum(pair_overflows, jnp.int32(0)).astype(jnp.int32),
-                    sum(tex_pair_overflows, jnp.int32(0)).astype(jnp.int32),
+                    functools.reduce(jnp.maximum, pair_overflows, jnp.int32(0)).astype(jnp.int32),
+                    functools.reduce(jnp.maximum, tex_pair_overflows, jnp.int32(0)).astype(jnp.int32),
                     resid_count,
                     blend_deep_px,
+                    functools.reduce(jnp.maximum, bin_needs, jnp.int32(0)).astype(jnp.int32),
+                    functools.reduce(jnp.maximum, shadow_bin_needs, jnp.int32(0)).astype(jnp.int32),
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)
             return out, mask_out, aux
 
+        if band is not None:
+            return frame  # parallel/tiles.py wraps it in shard_map + jit
         return jax.jit(frame)
 
 
-def _skybox_background(cube_textures, skybox_slot, uniforms, width, height, sample_offsets):
+def _skybox_background(
+    cube_textures, skybox_slot, uniforms, width, height, sample_offsets,
+    row0=0, band_h=None,
+):
     """reference: rend3-routine/src/skybox.rs + shaders skybox.wgsl: fullscreen
-    direction from inv_origin_view_proj at the near plane."""
+    direction from inv_origin_view_proj at the near plane. row0/band_h render
+    a horizontal band of the full target (multi-chip screen-tile path)."""
     from ..ops import texture as tex_ops
 
+    band_h = height if band_h is None else band_h
     nsamp = len(sample_offsets)
     cols = jnp.arange(width, dtype=jnp.float32)
-    rows = jnp.arange(height, dtype=jnp.float32)
+    rows = (jnp.arange(band_h, dtype=jnp.int32) + row0).astype(jnp.float32)
     outs = []
     for ox, oy in sample_offsets:
         py, px = jnp.meshgrid(rows + oy, cols + ox, indexing="ij")
@@ -1040,7 +1220,7 @@ def _skybox_background(cube_textures, skybox_slot, uniforms, width, height, samp
         world_dir = world_dir / jnp.where(n == 0.0, 1.0, n)
         rgba = tex_ops.sample_cube(cube_textures, skybox_slot, world_dir)
         rgba = jnp.concatenate([rgba[:, :3], jnp.ones_like(rgba[:, 3:4])], axis=-1)
-        outs.append(rgba.reshape(height, width, 4))
+        outs.append(rgba.reshape(band_h, width, 4))
     return jnp.stack(outs)
 
 
@@ -1091,8 +1271,13 @@ def _blend_pass(
         ax, bx = x, jnp.roll(x, -1)
         ay, by = y, jnp.roll(y, -1)
         tl = raster_ops._top_left(ax, ay, bx, by)
-        e = raster_ops._edge(ax[:, None, None, None], ay[:, None, None, None],
-                             bx[:, None, None, None], by[:, None, None, None], pxs[None], pys[None])
+        # Canonical edge evaluation (see raster._edge_canonical): the two
+        # triangles sharing a quad diagonal must see bitwise-opposite edge
+        # values, else platform rounding can let BOTH cover a pixel on the
+        # shared edge and double-composite the layer.
+        e = raster_ops._edge_canonical(
+            ax[:, None, None, None], ay[:, None, None, None],
+            bx[:, None, None, None], by[:, None, None, None], pxs[None], pys[None])
         inside = (e > 0.0) | ((e == 0.0) & tl[:, None, None, None])
         cov = inside.all(axis=0) & k  # (S, H, W)
         bar = jnp.stack([e[1], e[2], e[0]], axis=0)  # (3, S, H, W)

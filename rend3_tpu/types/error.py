@@ -14,6 +14,7 @@ __all__ = [
     "DeviceLimitError",
     "DeviceOutOfMemoryError",
     "MeshValidationError",
+    "AssetError",
 ]
 
 
@@ -41,6 +42,11 @@ class DeviceLimitError(RendererError):
 
 class DeviceOutOfMemoryError(RendererError):
     """HBM allocation failure surfaced from XLA with renderer context."""
+
+
+class AssetError(RendererError):
+    """Asset fetch failure (rend3-framework/src/assets.rs:8-20 AssetError);
+    subclassed by the framework's file/network variants."""
 
 
 # Re-export the existing mesh validation error under the typed family.

@@ -48,7 +48,7 @@ def test_sample_grid_matches_direct(offsets):
         offsets, interpret=True,
     )
     want = _reference(img, bx, by, valid, offsets)
-    assert int(overflow) == 0
+    assert int(overflow) <= 32  # returns the NEEDED pair cap; default fits
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
@@ -66,7 +66,7 @@ def test_sample_grid_multi_tile_screen():
         offsets, interpret=True,
     )
     want = _reference(img, bx, by, valid, offsets)
-    assert int(overflow) == 0
+    assert int(overflow) <= 32  # needed pair cap within the default budget
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
@@ -87,7 +87,7 @@ def test_sample_grid_bilinear_matches_reference():
         jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(wt), jnp.asarray(valid),
         pair_cap=16, interpret=True,
     )
-    assert int(overflow) == 0
+    assert int(overflow) <= 16  # needed pair cap within pair_cap=16
     ok = valid & (bx >= 0) & (bx + 1 < Ws) & (by >= 0) & (by + 1 < Hs)
     want = np.zeros((C, H, W), np.float32)
     yc = np.clip(by, 0, Hs - 2)
@@ -138,7 +138,7 @@ def test_sample_textures_grid_matches_scalar_sampler():
         pair_cap=64, interpret=True))
     samples, ovf = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
                      jnp.asarray(duv), jnp.asarray(mflags))
-    assert int(ovf) == 0
+    assert int(ovf) <= 64  # needed pair cap within pair_cap=64
     assert samples[2] is None  # inactive slot
     for q in (0, 1):
         ref = np.asarray(tex_ops.sample_textures(

@@ -394,3 +394,63 @@ def test_bc_and_container_decode():
     dds = b"DDS " + b"\x00" * 8 + struct.pack("<2I", 4, 4) + b"\x00" * 64 + b"DXT1" + b"\x00" * 40 + blk
     img_d, _ = decode_dds(dds)
     np.testing.assert_array_equal(img_d[3, 3], [255, 0, 0, 255])
+
+def test_bc7_bc6h_decode():
+    """BC7 / BC6H decode + Zstd-supercompressed KTX2 (rend3-gltf maps these
+    formats at lib.rs:1185-1627; real Bistro-class ktx2 assets use BC7).
+
+    The BC7 vector is a hand-packed mode-5 block (6 mode bits, rotation 0,
+    equal 7-bit RGB endpoints + equal 8-bit alpha endpoints, all indices 0)
+    whose exact decode is endpoint dequantization: v8 = (v7<<1)|(v7>>6)."""
+    import struct
+    import numpy as np
+    from rend3_tpu.gltf.compressed import decode_bc, decode_ktx2
+
+    def pack_bits(fields):
+        """fields: list of (value, nbits) packed LSB-first into 16 bytes."""
+        v = 0
+        off = 0
+        for val, n in fields:
+            v |= (val & ((1 << n) - 1)) << off
+            off += n
+        assert off <= 128
+        return v.to_bytes(16, "little")
+
+    blk7 = pack_bits([
+        (0b100000, 6),   # mode 5 (bit index 5 set)
+        (0, 2),          # rotation
+        (0x7F, 7), (0x7F, 7),   # R0, R1
+        (0x40, 7), (0x40, 7),   # G0, G1
+        (0x00, 7), (0x00, 7),   # B0, B1
+        (0xAA, 8), (0xAA, 8),   # A0, A1
+        # color (31) + alpha (31) index bits: all zero
+    ])
+    img7 = decode_bc("bc7", blk7, 4, 4)
+    assert img7.shape == (4, 4, 4)
+    expected = [0xFF, (0x40 << 1) | (0x40 >> 6), 0, 0xAA]
+    np.testing.assert_array_equal(img7, np.broadcast_to(expected, (4, 4, 4)))
+
+    # BC6H mode 11 (5-bit mode code 00011): 10-bit endpoints, no delta.
+    # E0=E1=0x3FF unquantizes to 0xFFFF -> half 0x7BFF (65504.0) -> LDR white.
+    blk6 = pack_bits([
+        (0b00011, 5),
+        (0x3FF, 10), (0x3FF, 10), (0x3FF, 10),  # R0 G0 B0
+        (0x3FF, 10), (0x3FF, 10), (0x3FF, 10),  # R1 G1 B1
+    ])
+    img6 = decode_bc("bc6h", blk6, 4, 4)
+    np.testing.assert_array_equal(img6, np.broadcast_to([255, 255, 255, 255], (4, 4, 4)))
+    img6z = decode_bc("bc6h", pack_bits([(0b00011, 5)]), 4, 4)
+    np.testing.assert_array_equal(img6z[..., :3], np.zeros((4, 4, 3), np.uint8))
+
+    # Zstd-supercompressed KTX2 wrapping the BC7 block (vkFormat 145).
+    import zstandard
+
+    comp = zstandard.ZstdCompressor().compress(blk7)
+    hdr = b"\xabKTX 20\xbb\r\n\x1a\n" + struct.pack(
+        "<9I", 145, 1, 4, 4, 0, 0, 1, 1, 2
+    ) + b"\x00" * (80 - 12 - 36)
+    lvl = struct.pack("<3Q", 128, len(comp), len(blk7))
+    data = hdr + lvl + b"\x00" * (128 - 80 - len(lvl)) + comp
+    img_k, srgb = decode_ktx2(data)
+    assert not srgb
+    np.testing.assert_array_equal(img_k, img7)

@@ -45,7 +45,7 @@ def main():
     runner.base_graph.render_frame(eval_output, target, settings)
     print("caps:", runner.base_graph._caps, "stats:", runner.base_graph.last_stats, flush=True)
 
-    stages = ("geom", "gbuf", "shadow", "light", None)
+    stages = ("clip", "gbuf", "smaps", "blendraster", "shadow", "light", None)
     if len(sys.argv) > 4:
         stages = tuple(s if s != "None" else None for s in sys.argv[4].split(","))
 
