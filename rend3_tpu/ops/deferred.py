@@ -218,16 +218,23 @@ CHUNK = 64               # packed-list rows DMA'd per grid step
 GPC = CHUNK // GROUP     # groups per chunk
 
 
-def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int = 1, y0=0):
+def _flat_lists(tris: TriSetup, binned: BinnedTris, n_cols: int, flat_mult: int = 1, y0=0,
+                cap_override: int = None):
     """Chunk-aligned per-tile lists (geometry.pack_chunks) plus the static
     capacity/chunk bounds. Capacity defaults to one chunk per tile + 2x the
     survivor table (pairs rarely exceed 2x survivors), scaled by the
-    adaptive flat_mult."""
+    adaptive flat_mult; cap_override (the host's adaptive flat-list cap)
+    replaces the formula — both the packed tables AND the kernel's step
+    budget scale with it, so sizing it to the frame's real pair count (via
+    FlatChunks.need) is a first-order perf lever."""
     from .geometry import pack_chunks
 
     nT, K = binned.ids.shape
     T = tris.setup.shape[0]
-    cap_total = -(-(nT * CHUNK + 2 * T * flat_mult) // CHUNK) * CHUNK
+    if cap_override is not None:
+        cap_total = max(CHUNK, -(-int(cap_override) // CHUNK) * CHUNK)
+    else:
+        cap_total = -(-(nT * CHUNK + 2 * T * flat_mult) // CHUNK) * CHUNK
     max_chunks = max(1, -(-K // CHUNK))
     flat = pack_chunks(tris, binned, N_BANDS, BAND_H, n_cols, CHUNK, cap_total, max_chunks, y0=y0)
     return flat, cap_total, max_chunks
@@ -242,6 +249,8 @@ def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
     The raster grids iterate real work only — a 2D (tile, max_chunks) grid
     pays the Mosaic step overhead for every skipped slot, which made kernel
     time capacity-proportional."""
+    from .geometry import _rank_of
+
     nc = flat.n_chunks
     per_tile = phases * nc + 1
     tile_start = jnp.concatenate(
@@ -250,7 +259,7 @@ def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
     total = tile_start[-1] + per_tile[-1]
     S = phases * (cap_total // CHUNK) + n_tiles + 1
     s = jnp.arange(S, dtype=jnp.int32)
-    tile = jnp.clip(jnp.searchsorted(tile_start, s, side="right").astype(jnp.int32) - 1, 0, n_tiles - 1)
+    tile = _rank_of(tile_start, S, n_tiles)
     local = s - tile_start[tile]
     nct = nc[tile]
     phase = jnp.minimum(local // nct, phases)          # 0..phases-1, then final
@@ -264,6 +273,72 @@ def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
     return step_tile, step_kind, step_chunk, S
 
 
+class PackedRaster(NamedTuple):
+    """Chunk-packed launch tables for the raster kernels, shared by every
+    launch over the same geometry (depth peels, MSAA samples): the flat
+    per-tile lists, gathered setup/plane rows, and the 1D step queue. The
+    packing XLA pre-pass (gathers over cap_total rows + searchsorted step
+    derivation) is a real per-launch cost — build once, launch many."""
+
+    flat: "FlatChunks"
+    bset: jnp.ndarray              # (cap_total, SETUP_W)
+    bplanes: jnp.ndarray           # (cap_total, PLANES_W) or None (depth-only)
+    st: jnp.ndarray                # step -> tile
+    sk: jnp.ndarray                # step -> kind
+    sc: jnp.ndarray                # step -> chunk
+    S: int                         # static step count
+    y0: object                     # absolute first row (traced for bands)
+
+
+def pack_raster(
+    tris: TriSetup,
+    planes,                        # (V, PLANES_W) or None for depth-only
+    binned: BinnedTris,
+    width: int,
+    height: int,
+    *,
+    flat_mult: int = 1,
+    flat_cap: int = None,
+    y0=0,
+) -> PackedRaster:
+    n_cols = width // DTILE_W
+    n_tiles = (height // DTILE_H) * n_cols
+    flat, cap_total, _MC = _flat_lists(
+        tris, binned, n_cols, flat_mult, y0=y0, cap_override=flat_cap
+    )
+    gi = jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)
+    bset = tris.setup[gi]
+    bplanes = planes[gi] if planes is not None else None
+    phases = 1 if planes is None else 2
+    st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=phases)
+    # Materialize the packed tables once: XLA otherwise re-derives parts of
+    # the pack/step chain inside each consumer fusion of the big frame
+    # program (in-frame stage cost measured 2-3x the standalone op).
+    if bplanes is None:
+        flat, bset, st, sk, sc = jax.lax.optimization_barrier(
+            (flat, bset, st, sk, sc)
+        )
+    else:
+        flat, bset, bplanes, st, sk, sc = jax.lax.optimization_barrier(
+            (flat, bset, bplanes, st, sk, sc)
+        )
+    return PackedRaster(flat=flat, bset=bset, bplanes=bplanes, st=st, sk=sk, sc=sc, S=S, y0=y0)
+
+
+def raster_depth_packed(
+    pk: PackedRaster,
+    width: int,
+    height: int,
+    *,
+    interpret: bool = False,
+    sofs: Tuple[float, float] = (0.5, 0.5),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    depth = _depth_launch(
+        pk.flat, pk.bset, pk.st, pk.sk, pk.sc, pk.S, width, height, interpret, pk.y0, sofs
+    )
+    return depth, pk.flat.overflow
+
+
 def raster_depth(
     tris: TriSetup,
     binned: BinnedTris,
@@ -273,6 +348,8 @@ def raster_depth(
     interpret: bool = False,
     flat_mult: int = 1,
     y0=0,
+    sofs: Tuple[float, float] = (0.5, 0.5),
+    flat_cap: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Depth-only raster over chunk-packed per-tile lists: ((H, W) f32,
     overflow counter).
@@ -288,24 +365,13 @@ def raster_depth(
     y0: optional traced absolute row of the target's first row (multi-chip
     band rendering); pixel coordinates are y0 + local, added as integers so
     band renders are bit-identical to the single-chip full-target raster."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_rows = height // DTILE_H
-    n_cols = width // DTILE_W
-    n_tiles = n_rows * n_cols
-    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult, y0=y0)
-    bset = tris.setup[jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)]  # (cap, W)
-    st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=1)
-    # Materialize the packed tables once: XLA otherwise re-derives parts of
-    # the pack/step chain inside each consumer fusion of the big frame
-    # program (in-frame stage cost measured 2-3x the standalone op).
-    flat, bset, st, sk, sc = jax.lax.optimization_barrier((flat, bset, st, sk, sc))
-    depth = _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0)
-    return depth, flat.overflow
+    pk = pack_raster(
+        tris, None, binned, width, height, flat_mult=flat_mult, flat_cap=flat_cap, y0=y0
+    )
+    return raster_depth_packed(pk, width, height, interpret=interpret, sofs=sofs)
 
 
-def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0):
+def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0, sofs=(0.5, 0.5)):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -324,8 +390,8 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0):
         row = i // n_cols
         col = i - row * n_cols
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
-        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
-        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + 0.5
+        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + float(sofs[0])
+        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + float(sofs[1])
 
         @pl.when((kind == 0) & (chunk == 0))
         def _init():
@@ -398,6 +464,8 @@ def raster_resolve(
     interpret: bool = False,
     flat_mult: int = 1,
     y0=0,
+    sofs: Tuple[float, float] = (0.5, 0.5),  # in-pixel sample position (MSAA)
+    flat_cap: int = None,
 ) -> Tuple[GBuffer, jnp.ndarray]:
     """The fused raster + resolve Pallas kernel over chunk-packed per-tile
     lists.
@@ -412,22 +480,32 @@ def raster_resolve(
     planes once per pixel and write the tile's G-buffer block.
     Output: ((GB_CH, H, W) numerator-space G-buffer, overflow counter).
     """
+    pk = pack_raster(
+        tris, planes, binned, width, height, flat_mult=flat_mult, flat_cap=flat_cap, y0=y0
+    )
+    return raster_resolve_packed(pk, width, height, bound=bound, interpret=interpret, sofs=sofs)
+
+
+def raster_resolve_packed(
+    pk: PackedRaster,
+    width: int,
+    height: int,
+    *,
+    bound: jnp.ndarray = None,
+    interpret: bool = False,
+    sofs: Tuple[float, float] = (0.5, 0.5),
+) -> Tuple[GBuffer, jnp.ndarray]:
+    """Launch the fused raster+resolve kernel over pre-packed tables (see
+    pack_raster): depth peels and MSAA samples re-launch with a different
+    bound / sofs without re-paying the packing pre-pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_rows = height // DTILE_H
     n_cols = width // DTILE_W
     n_tiles = n_rows * n_cols
-    flat, cap_total, MC = _flat_lists(tris, binned, n_cols, flat_mult, y0=y0)
-
-    gi = jnp.clip(flat.ids, 0, tris.setup.shape[0] - 1)
-    bset = tris.setup[gi]      # (cap, SETUP_W)
-    bplanes = planes[gi]       # (cap, PLANES_W)
-    st, sk, sc, S = _step_tables(flat, n_tiles, cap_total, phases=2)
-    # Materialize once (see raster_depth).
-    flat, bset, bplanes, st, sk, sc = jax.lax.optimization_barrier(
-        (flat, bset, bplanes, st, sk, sc)
-    )
+    flat, bset, bplanes = pk.flat, pk.bset, pk.bplanes
+    st, sk, sc, S, y0 = pk.st, pk.sk, pk.sc, pk.S, pk.y0
     y0arr = jnp.full((1,), y0, jnp.int32)
 
     npb = BAND_H * DTILE_W
@@ -453,8 +531,8 @@ def raster_resolve(
         row = i // n_cols
         col = i - row * n_cols
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, npb), 1)
-        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + 0.5
-        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + 0.5
+        pxf = (lane % DTILE_W).astype(jnp.float32) + (col * DTILE_W).astype(jnp.float32) + float(sofs[0])
+        py0 = (lane // DTILE_W + row * DTILE_H + y0_ref[0]).astype(jnp.float32) + float(sofs[1])
 
         @pl.when((kind == 0) & (chunk == 0))
         def _init():

@@ -354,6 +354,20 @@ def bin_triangles(
     )
 
 
+def _rank_of(bases: jnp.ndarray, length: int, n: int) -> jnp.ndarray:
+    """For strictly-increasing bases (n,), the row->segment map over
+    [0, length): rank[p] = #bases <= p, minus 1 (clipped to [0, n-1]).
+
+    Equivalent to searchsorted(bases, arange(length), 'right') - 1, but a
+    1-per-base scatter + cumsum instead of a per-element binary search —
+    XLA lowers searchsorted to `length * log(n)` scalar gathers, which
+    measured ~60 ms at representative packing sizes (length ~500k)."""
+    ind = jnp.zeros(length + 1, jnp.int32).at[jnp.clip(bases, 0, length)].add(
+        1, mode="drop"
+    )
+    return jnp.clip(jnp.cumsum(ind[:length]) - 1, 0, n - 1).astype(jnp.int32)
+
+
 class FlatChunks(NamedTuple):
     """Chunk-aligned concatenation of the per-tile binned lists for the
     chunked raster kernels (deferred.py): per-tile segments of the compacted
@@ -368,6 +382,10 @@ class FlatChunks(NamedTuple):
     n_chunks: jnp.ndarray    # (n_tiles,) i32 occupied chunks (>= 1)
     group_meta: jnp.ndarray  # (cap_total // 8,) i32: band_mask << 4 | valid_rows
     overflow: jnp.ndarray    # () i32
+    need: jnp.ndarray        # () i32 chunk-aligned rows the packing actually
+    #                          required — the flat-list capacity bucket the
+    #                          host should jump to (one-shot, like BinnedTris
+    #                          .need)
 
 
 def pack_chunks(
@@ -393,9 +411,7 @@ def pack_chunks(
     overflow = jnp.maximum(total - cap_total, 0) + binned.overflow + clamp_dropped
 
     p = jnp.arange(cap_total, dtype=jnp.int32)
-    t = jnp.clip(
-        jnp.searchsorted(tile_base, p, side="right").astype(jnp.int32) - 1, 0, nT - 1
-    )
+    t = _rank_of(tile_base, cap_total, nT)
     local = p - tile_base[t]
     valid = (local < counts[t]) & (p < total)
     ids = jnp.where(
@@ -426,4 +442,5 @@ def pack_chunks(
         n_chunks=nchunks,
         group_meta=group_meta,
         overflow=overflow.astype(jnp.int32),
+        need=total.astype(jnp.int32),
     )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from . import deferred as D
 from .shade import DirLightArrays, FrameUniformsArrays, PbrMaterialTable, PointLightArrays, _shade_pixels
 
-__all__ = ["light_gbuffer"]
+__all__ = ["light_gbuffer", "apply_material_routines"]
 
 
 def _onehot_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
@@ -43,6 +43,7 @@ def light_gbuffer(
     active_tex_slots=None,          # static slot tuple -> use the MXU sampler
     tex_pair_cap: int = 16,
     interpret: bool = False,
+    debug_stop_tex: bool = False,   # profiling: return after texture sampling
 ):
     """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow) when the
     MXU texture sampler is active (active_tex_slots is not None)."""
@@ -90,8 +91,11 @@ def light_gbuffer(
             tex_samples, tex_overflow = tex_ops.sample_textures_grid(
                 textures, mtex, coords, duv, mflags, (H, W),
                 tuple(active_tex_slots),
-                pair_cap=tex_pair_cap, interpret=interpret,
+                pair_cap=tex_pair_cap, interpret=interpret, hit=hit,
             )
+            if debug_stop_tex:
+                dbg = sum(s for s in tex_samples if s is not None)
+                return dbg.reshape(H, W, 4), tex_overflow
 
     sv = shadow_values.reshape(shadow_values.shape[0], N) if shadow_values is not None else None
     out_rgb, out_a = _shade_pixels(
@@ -105,6 +109,66 @@ def light_gbuffer(
     if active_tex_slots is not None:
         return img, tex_overflow
     return img
+
+
+def apply_material_routines(
+    img: jnp.ndarray,               # (H, W, 4) lit image (built-in PBR pass)
+    gbuf: D.GBuffer,
+    extras,                         # [(base, count, routine, data_d, flags_d)]
+    dir_lights: DirLightArrays,
+    point_lights: PointLightArrays,
+    shadow_values,                  # (L, H, W) or None
+    uniforms: FrameUniformsArrays,
+) -> jnp.ndarray:
+    """Shade registered non-PBR archetypes over the shared G-buffer.
+
+    The material channel carries a global slot (PBR table first, then each
+    registered archetype's table); every routine shades the pixels whose
+    slot falls in its range and the results overwrite the PBR image there
+    (the reference's per-archetype draw vtable, material.rs:43-61, collapsed
+    into image-space passes)."""
+    from ..routine.registry import GBufferPixels
+
+    if not extras:
+        return img
+    CH, H, W = gbuf.data.shape
+    N = H * W
+    g = gbuf.data.reshape(CH, N)
+    hit = g[D.G_HIT] > 0.0
+    den = g[D.G_DEN]
+    inv_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
+
+    def ch(off, n):
+        return (g[off : off + n] * inv_den[None]).T
+
+    pixels = GBufferPixels(
+        view_pos=ch(D.G_VP, 3),
+        nrm=ch(D.G_NRM, 3),
+        tan=ch(D.G_TAN, 3),
+        uv0=ch(D.G_UV0, 2),
+        uv1=ch(D.G_UV1, 2),
+        vcol=ch(D.G_COL, 4),
+        hit=hit,
+    )
+    sv = (
+        shadow_values.reshape(shadow_values.shape[0], N)
+        if shadow_values is not None
+        else None
+    )
+    midx = jnp.round(g[D.G_MAT]).astype(jnp.int32)
+    out = img.reshape(N, 4)
+    for base, count, routine, data_d, flags_d in extras:
+        sel = hit & (midx >= base) & (midx < base + count)
+        ml = jnp.clip(midx - base, 0, count - 1)
+        mdata = _onehot_lookup(ml, data_d)
+        mflags = jnp.round(
+            _onehot_lookup(ml, flags_d[:, None].astype(jnp.float32))[:, 0]
+        ).astype(jnp.int32)
+        rgba = routine.shade(
+            pixels, mdata, mflags, dir_lights, point_lights, sv, uniforms
+        )
+        out = jnp.where(sel[:, None], rgba, out)
+    return out.reshape(H, W, 4)
 
 
 def cutout_alpha_pass(
@@ -160,6 +224,7 @@ def cutout_alpha_pass(
         samples, overflow = tex_ops.sample_textures_grid(
             textures, mtex, coords, duv, mflags, (H, W), (TEX_ALBEDO,),
             pair_cap=tex_pair_cap, interpret=interpret,
+            hit=(g[D.G_HIT] > 0.0),
         )
         tex_a = samples[TEX_ALBEDO][:, 3]
 

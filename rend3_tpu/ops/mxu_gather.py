@@ -174,6 +174,8 @@ def _pair_step_tables(
     padding steps so no work fires) plus INIT_BIT for each tile's first
     step (the kernel zeroes the output block there).
     """
+    from .geometry import _rank_of
+
     per_tile = jnp.maximum(counts, 1)
     base = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
@@ -181,7 +183,7 @@ def _pair_step_tables(
     total = base[-1] + per_tile[-1]
     S = nT + 4 * nT + slack_tiles * cap  # typical ~2-4 pairs/tile + worst-tile slack
     s = jnp.arange(S, dtype=jnp.int32)
-    tile = jnp.clip(jnp.searchsorted(base, s, side="right").astype(jnp.int32) - 1, 0, nT - 1)
+    tile = _rank_of(base, S, nT)
     j = s - base[tile]
     pad = s >= total
     step_tile = jnp.where(pad, nT - 1, tile).astype(jnp.int32)

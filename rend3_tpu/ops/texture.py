@@ -31,6 +31,15 @@ __all__ = [
 MAX_MIPS = 14
 NSLOT = 10  # material texture slots (shade.TEX_* order)
 
+# MXU dtype for the bilinear gather's select-and-lerp matmuls. bf16 runs the
+# MXU ~4x faster than f32 on v5e and the sampler was measured pair-bound at
+# representative scale; texel values and lerp weights carry <= 8 significant
+# bits of perceptual content, and the golden suite (mae <= 0.004) gates the
+# accuracy. Override with REND3_TPU_TEX_DOT=f32 to fall back.
+import os as _os
+
+TEX_DOT_DTYPE = jnp.float32 if _os.environ.get("REND3_TPU_TEX_DOT") == "f32" else jnp.bfloat16
+
 
 class TextureArrays(NamedTuple):
     atlas: jnp.ndarray       # (A_H, A_W, 4) f32 linear
@@ -317,6 +326,7 @@ def sample_textures_grid(
     *,
     pair_cap: int = 16,
     interpret: bool = False,
+    hit: jnp.ndarray = None,  # optional (N,) bool: only sample hit pixels
 ):
     """Deferred-path textureSampleGrad for (H, W)-organized pixels through
     the MXU bilinear gather (mxu_gather.sample_grid_bilinear).
@@ -375,7 +385,7 @@ def sample_textures_grid(
                 out = jnp.where((li == lv)[:, None], rect_all[:, lv], out)
             return out
 
-        valid0 = slv > 0
+        valid0 = (slv > 0) if hit is None else ((slv > 0) & hit)
         for k, (li, wt) in enumerate(
             (
                 (l0i, jnp.where(nearest, 1.0, 1.0 - lf)),
@@ -413,7 +423,7 @@ def sample_textures_grid(
     planes = jnp.moveaxis(tex.atlas, -1, 0)  # (4, AH, AW)
     out, overflow = mg.sample_grid_bilinear(
         planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy), cat(q_wt), cat(q_valid),
-        pair_cap=pair_cap, interpret=interpret,
+        pair_cap=pair_cap, interpret=interpret, dot_dtype=TEX_DOT_DTYPE,
     )
     out = out.reshape(4, len(q_bx), H, W)
 

@@ -39,6 +39,9 @@ from ..types.material import SortingOrder
 # "shadow", "light") so fused-prefix timings can localize cost (tools/).
 _DEBUG_STOP_AFTER = None
 
+# Raster classes with adaptive flat-list capacities (aux slots 10..14).
+FLAT_CLASSES = ("main", "resid", "cut", "blend", "shadow")
+
 
 def default_raster_backend() -> str:
     """'pallas' on TPU, 'binned_xla' elsewhere; 'reference' for the O(T*P)
@@ -146,6 +149,18 @@ class BaseRenderGraph:
         # re-renders) when the surviving count overflows.
         self._caps: Dict[str, int] = {}
         self.last_stats: Dict[str, int] = {}
+        # Registered per-archetype shading routines (reference: the
+        # per-archetype vtable, rend3/src/managers/material.rs:43-61).
+        # PbrMaterial rides the built-in pipeline; objects of archetypes
+        # with no registered routine don't draw (reference semantics).
+        self.routines: Dict[str, object] = {}
+        self._gslot_key = None
+
+    def register_routine(self, routine) -> None:
+        """Install a MaterialRoutine (routine/registry.py) so objects of
+        its material archetype draw through the deferred path."""
+        self.routines[routine.archetype] = routine
+        self._gslot_key = None  # slot remap must rebuild
 
     def _survivor_cap(self, kind: str, table: int) -> int:
         cap = self._caps.get(kind, 0)
@@ -275,6 +290,32 @@ class BaseRenderGraph:
         if at(6) > resid_cap:
             self._caps["resid"] = _pad_pow2(at(6), minimum=4096)
             grew = True
+
+        # Flat-list (step-queue) capacities, aux slots 10..14: one-shot grow
+        # on overflow (geometry dropped -> re-render) and one-shot SHRINK
+        # when the formula/previous cap is >2x the padded real need (the
+        # image was correct; the next build just compiles a leaner program
+        # whose step budget matches the scene).
+        for j, cls in enumerate(FLAT_CLASSES):
+            need = at(10 + j)
+            if need <= 0:
+                continue
+            cap_key = f"fl_{cls}"
+            cur = self._caps.get(cap_key)
+            want = _pad_pow2(max(need * 9 // 8, 2048), minimum=2048)
+            if cur is None:
+                # First measurement: adopt the padded need. The formula cap
+                # used this frame is an upper bound, so nothing was dropped
+                # (unless overflow, handled by grew via bin_overflow), and no
+                # re-render is required.
+                self._caps[cap_key] = want
+                self._program_cache.clear()
+            elif need > cur:
+                self._caps[cap_key] = want
+                grew = True
+            elif want * 2 <= cur:
+                self._caps[cap_key] = want
+                self._program_cache.clear()
         if at(7) > 0 and self._caps.get("blend_peels", 2) < 16:
             self._caps["blend_peels"] = self._caps.get("blend_peels", 2) * 2
             grew = True
@@ -371,15 +412,12 @@ class BaseRenderGraph:
             transforms[: om.cap] = om.transforms
             bases = np.full((ocap, len(ATTR_ORDER)), -1, dtype=np.int32)
             bases[: om.cap] = om.bases
-            material_slots = np.zeros(ocap, dtype=np.int32)
-            material_slots[: om.cap] = om.material_slots
             self._obj_tbl = (
                 jnp.asarray(transforms),
                 jnp.asarray(bases),
-                jnp.asarray(material_slots),
             )
             self._obj_tbl_key = tbl_key
-        transforms_d, bases_d, material_slots_d = self._obj_tbl
+        transforms_d, bases_d = self._obj_tbl
 
         enabled = np.zeros(ocap, dtype=bool)
         enabled[: om.cap] = om.enabled
@@ -403,14 +441,60 @@ class BaseRenderGraph:
         r.material_manager.ensure_archetype(PbrMaterial)
         arch = PbrMaterial.__name__
         mat_data, mat_flags, mat_tex = r.material_manager.evaluate(arch)
-        foreign_arch = any(
-            n != arch and a.next_slot > 0 for n, a in r.material_manager.archetypes.items()
+        # Registered extra archetypes draw through the deferred opaque path;
+        # their material tables stack after the PBR table in a GLOBAL slot
+        # space carried by the G-buffer material channel. Archetypes with no
+        # registered routine don't draw (reference: material.rs:43-61 —
+        # no vtable entry, no pipeline). The forward/oracle paths shade with
+        # the PBR table only, so extras draw only in deferred mode.
+        backend = default_raster_backend()
+        will_defer = backend != "reference"
+        extras_host = []  # (name, base, count, data_d, flags_d)
+        gbase = int(mat_data.shape[0])
+        for n in sorted(r.material_manager.archetypes):
+            a = r.material_manager.archetypes[n]
+            if n == arch or a.next_slot == 0:
+                continue
+            if will_defer and n in self.routines:
+                d, f, _t = r.material_manager.evaluate(n)
+                extras_host.append((n, gbase, int(d.shape[0]), d, f))
+                gbase += int(d.shape[0])
+        extra_names = {e[0] for e in extras_host}
+        hidden_arch = any(
+            n != arch and a.next_slot > 0 and n not in extra_names
+            for n, a in r.material_manager.archetypes.items()
         )
-        if foreign_arch:
-            for oidx, rec in om.data.items():
-                if rec.material_arch != arch:
-                    visible[oidx] = False
-                    shadow_visible[:, oidx] = False
+        arch_bases = {e[0]: e[1] for e in extras_host}
+        gkey = (om.version, tuple(sorted(arch_bases.items())), hidden_arch)
+        if self._gslot_key != gkey:
+            gslots = om.material_slots.copy()
+            obj_pbr = np.ones(om.cap, bool)
+            obj_hidden = np.zeros(om.cap, bool)
+            if arch_bases or hidden_arch:
+                for oidx, rec in om.data.items():
+                    if rec.material_arch == arch:
+                        continue
+                    obj_pbr[oidx] = False
+                    b = arch_bases.get(rec.material_arch)
+                    if b is None:
+                        obj_hidden[oidx] = True
+                    else:
+                        gslots[oidx] += b
+            self._gslot_cache = (gslots, obj_pbr, obj_hidden)
+            self._gslot_key = gkey
+        gslots, obj_pbr, obj_hidden = self._gslot_cache
+        if obj_hidden.any():
+            visible[: om.cap] &= ~obj_hidden
+            shadow_visible[:, : om.cap] &= ~obj_hidden[None, :]
+        # Global material-slot device table (PBR slots unchanged; registered
+        # extras offset by their table base).
+        mtbl_key = (gkey, ocap)
+        if getattr(self, "_mslot_key", None) != mtbl_key:
+            material_slots = np.zeros(ocap, dtype=np.int32)
+            material_slots[: om.cap] = gslots[: om.cap]
+            self._mslot_tbl = jnp.asarray(material_slots)
+            self._mslot_key = mtbl_key
+        material_slots_d = self._mslot_tbl
 
         textures = None
         if len(r.d2_texture_manager.data):
@@ -449,7 +533,6 @@ class BaseRenderGraph:
         # Skinning inputs (before geometry is consumed).
         skin_inputs = skin_ops.build_skin_inputs(r.skeleton_manager, r.mesh_manager)
 
-        backend = default_raster_backend()
         occ = self.occlusion_culling and target.samples == 1 and backend != "reference"
         ctable = tcap + 3 * min(1024, tcap)  # post-clip table size (clip_triangles)
         main_cap = self._survivor_cap("main", ctable)
@@ -482,11 +565,17 @@ class BaseRenderGraph:
         host_mdata = r.material_manager.archetypes[arch].data
         cutout_mat = host_mdata[:, shade_ops.PBR_ALPHA_CUTOUT] > 0.0
         obj_cut = np.zeros(ocap, bool)
-        obj_cut[: om.cap] = cutout_mat[np.clip(om.material_slots, 0, len(cutout_mat) - 1)]
+        obj_cut[: om.cap] = obj_pbr & cutout_mat[np.clip(om.material_slots, 0, len(cutout_mat) - 1)]
         cutout_tri = (tri_obj >= 0) & obj_cut[np.clip(tri_obj, 0, ocap - 1)]
         has_cutout = bool(cutout_tri.any())
         cutout_peels = self.cutout_peels if has_cutout else 0
         self._last_caps = (main_cap, shadow_cap, resid_cap)
+        # Adaptive flat-list (chunk-queue) capacities per raster class: the
+        # kernel step budget S scales with these, so sizing them to the
+        # frame's REAL triangle-tile pair count (reported via aux slots
+        # 10-14, one-shot grow AND shrink) is a first-order perf lever.
+        # None = the conservative formula (first frame).
+        fl_caps = tuple(self._caps.get(f"fl_{c}") for c in FLAT_CLASSES)
         key = (
             target.width,
             target.height,
@@ -509,6 +598,8 @@ class BaseRenderGraph:
             blend_peels,
             shadow_pair_cap,
             blend_tex_slots,
+            tuple((n, b, c) for (n, b, c, _d, _f) in extras_host),
+            fl_caps,
         )
         self._last_key = key  # parallel/tiles.py builds the band variant from it
         program = self._program_cache.get(key)
@@ -554,6 +645,7 @@ class BaseRenderGraph:
             np.int32(skybox_slot + 1) if skybox_slot is not None else np.int32(0),
             prev_mask,
             jnp.asarray(cutout_tri),
+            tuple((d, f) for (_n, _b, _c, d, f) in extras_host),
         )
         return program, args
 
@@ -569,7 +661,9 @@ class BaseRenderGraph:
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
          active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
-         shadow_pair_cap, blend_tex_slots) = key
+         shadow_pair_cap, blend_tex_slots, extras_sig, fl_caps) = key
+        extra_routines = [self.routines[n] for (n, _b, _c) in extras_sig]
+        fl_main, fl_resid, fl_cut, fl_blend, fl_shadow = fl_caps
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -607,10 +701,14 @@ class BaseRenderGraph:
             skybox_slot,
             prev_mask,
             cutout_tri,
+            extra_mats,
         ):
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
 
-            use_deferred = backend != "reference" and samples == 1
+            # Deferred handles MSAA by supersampling at the 4 hardware sample
+            # positions (per-sample G-buffers sharing one geometry pass;
+            # ref forward.rs:159-189 builds MSAA 1 & 4 pipeline variants).
+            use_deferred = backend != "reference"
             # Band parameters: the rows this program instance renders.
             # Single-chip: the full target (row0 = 0). Multi-chip: each
             # chip's shard_map instance renders band_h rows at an absolute
@@ -635,6 +733,12 @@ class BaseRenderGraph:
             tex_pair_overflows = []  # needed tex pair caps (max aggregated)
             bin_needs = []           # needed tile mults, main-target rasters
             shadow_bin_needs = []    # needed tile mults, shadow rasters
+            flat_needs = {}          # class -> needed flat-list rows (max)
+
+            def _flat_need(cls, need):
+                flat_needs[cls] = (
+                    jnp.maximum(flat_needs[cls], need) if cls in flat_needs else need
+                )
 
             def _need_mult(binned, base_cap):
                 # tile-cap multiplier this bin actually required (static
@@ -725,11 +829,18 @@ class BaseRenderGraph:
                         .set(True, mode="drop")
                     )
 
-                def raster_pass(pass_valid, hiz_p, cap):
+                # Sub-pixel culling is a pixel-CENTER test; with MSAA the 4
+                # sample positions cover the pixel interior, so it's off
+                # (cull.wgsl:221-236: non-MSAA only).
+                subpix = nsamp == 1
+
+                def geom_pass(pass_valid, hiz_p, cap, cls, flat_cap):
+                    """Sample-independent geometry work shared by all MSAA
+                    samples: cull/setup, attribute planes, tile binning."""
                     t = geom_ops.cull_and_setup(
                         clipped.clip, pass_valid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
-                        subpixel=True, hiz=hiz_p, hiz_interpret=interp, cap=cap,
+                        subpixel=subpix, hiz=hiz_p, hiz_interpret=interp, cap=cap,
                         y_range=y_range,
                     )
                     t = jax.lax.optimization_barrier(t)
@@ -745,10 +856,27 @@ class BaseRenderGraph:
                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
                     )
                     bin_needs.append(_need_mult(b, _tile_cap_for(cap, n_tiles_d)))
-                    g, ovf = def_ops.raster_resolve(
-                        t, p, b, wp, hp, interpret=interp, flat_mult=tmul_main, y0=row0,
+                    # Pack ONCE per geometry: depth peels and MSAA samples
+                    # re-launch the kernel over the same tables.
+                    pk = def_ops.pack_raster(
+                        t, p, b, wp, hp, flat_mult=tmul_main, y0=row0,
+                        flat_cap=flat_cap,
                     )
-                    return t, def_ops.GBuffer(data=jax.lax.optimization_barrier(g.data)), ovf
+                    _flat_need(cls, pk.flat.need)
+                    return t, pk
+
+                def resolve_at(pk, si, bound=None):
+                    """Rasterize the shared packed geometry at MSAA sample si."""
+                    g, ovf = def_ops.raster_resolve_packed(
+                        pk, wp, hp, bound=bound, interpret=interp,
+                        sofs=sample_offsets[si],
+                    )
+                    bin_overflows.append(ovf)
+                    return def_ops.GBuffer(data=jax.lax.optimization_barrier(g.data))
+
+                def raster_pass(pass_valid, hiz_p, cap, cls, flat_cap):
+                    t, pk = geom_pass(pass_valid, hiz_p, cap, cls, flat_cap)
+                    return t, resolve_at(pk, 0)
 
                 hiz_pyramid = None
                 if occlusion:
@@ -757,12 +885,14 @@ class BaseRenderGraph:
                     # predicted-visible set FOR REAL, its depth becomes the
                     # Hi-Z occluder pyramid, and only the residual set (not
                     # predicted) is occlusion-tested and composited on top by
-                    # depth. No separate prepass raster exists.
+                    # depth. No separate prepass raster exists. (Single-sample
+                    # only; occ is False when samples > 1.)
                     from ..ops import hi_z as hiz_ops
 
                     pm = prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
-                    tris, gbuf_p, ovf1 = raster_pass(opaque_valid & pm, None, main_cap)
-                    bin_overflows.append(ovf1)
+                    tris, gbuf_p = raster_pass(opaque_valid & pm, None, main_cap, "main", fl_main)
+                    if _DEBUG_STOP_AFTER == "gbuf1":
+                        return gbuf_p.data
                     hiz_pyramid = jax.lax.optimization_barrier(
                         hiz_ops.build_pyramid(gbuf_p.data[def_ops.G_DEPTH])
                     )
@@ -775,10 +905,9 @@ class BaseRenderGraph:
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
                         subpixel=True, hiz=hiz_pyramid, hiz_interpret=interp,
                     )
-                    tris_r, gbuf_r, ovf2 = raster_pass(
-                        vis_rows & ~pm, None, resid_cap
-                    )
-                    bin_overflows.append(ovf2)
+                    if _DEBUG_STOP_AFTER == "vis":
+                        return vis_rows
+                    tris_r, gbuf_r = raster_pass(vis_rows & ~pm, None, resid_cap, "resid", fl_resid)
                     if _DEBUG_STOP_AFTER == "gbuf_r":
                         return gbuf_r.data, tris_r.count
                     # Merge on hit flags, not bare depth: reverse-Z depth 0.0
@@ -789,70 +918,55 @@ class BaseRenderGraph:
                     take_r = hit_r & (
                         ~hit_1 | (gbuf_r.data[def_ops.G_DEPTH] >= gbuf_p.data[def_ops.G_DEPTH])
                     )
-                    gbuf_p = def_ops.GBuffer(
+                    gbufs_p = [def_ops.GBuffer(
                         data=jnp.where(take_r[None], gbuf_r.data, gbuf_p.data)
-                    )
+                    )]
                     new_mask = rows_to_tri_mask(vis_rows)
                     main_count = tris.count
                     resid_count = tris_r.count
                 else:
-                    tris, gbuf_p, ovf1 = raster_pass(opaque_valid, None, main_cap)
-                    bin_overflows.append(ovf1)
-                    main_count = tris.count
+                    t_m, pk_m = geom_pass(opaque_valid, None, main_cap, "main", fl_main)
+                    gbufs_p = [resolve_at(pk_m, si) for si in range(nsamp)]
+                    main_count = t_m.count
                 if _DEBUG_STOP_AFTER == "gbuf":
-                    return gbuf_p.data
+                    return gbufs_p[0].data
 
                 if cutout_peels:
                     # Cutout (alpha-test) depth peeling: raster the cutout
                     # subset front-to-back, exact per-pixel albedo-alpha test
                     # (ref depth.wgsl discard), accept the first passing
-                    # fragment nearer than the opaque result.
-                    tris_c = geom_ops.cull_and_setup(
-                        clipped.clip, clipped.valid & cmask, width, height,
-                        cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
-                        subpixel=True, hiz=hiz_pyramid, hiz_interpret=interp,
-                        cap=main_cap, y_range=y_range,
+                    # fragment nearer than the opaque result. Geometry work is
+                    # shared across MSAA samples; the peel loop runs per
+                    # sample (coverage and depth are per-sample state).
+                    tris_c, pk_c = geom_pass(
+                        clipped.valid & cmask, hiz_pyramid, main_cap, "cut", fl_cut
                     )
-                    planes_c = def_ops.attribute_planes(
-                        tris_c, clipped.clip, clipped.bary, clipped.orig,
-                        tri_vlocal, tri_obj, bases, geo, mv, material_slots,
-                        width, height,
-                    )
-                    binned_c = geom_ops.bin_triangles(
-                        tris_c, wp, hp,
-                        tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
-                        tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
-                    )
-                    bin_needs.append(_need_mult(binned_c, _tile_cap_for(main_cap, n_tiles_d)))
-                    acc = gbuf_p.data
-                    odepth = gbuf_p.data[def_ops.G_DEPTH]
-                    done = jnp.zeros((hp, wp), bool)
-                    bound_img = None
-                    for _peel in range(cutout_peels):
-                        gbuf_c, ovf_c = def_ops.raster_resolve(
-                            tris_c, planes_c, binned_c, wp, hp, bound=bound_img,
-                            interpret=interp, flat_mult=tmul_main, y0=row0,
-                        )
-                        bin_overflows.append(ovf_c)
-                        pass_img, tex_ovf = light_ops.cutout_alpha_pass(
-                            gbuf_c, materials, textures if has_tex else None,
-                            active_tex_slots, (hp, wp),
-                            tex_pair_cap=tex_pair_cap, interpret=interp,
-                        )
-                        tex_pair_overflows.append(tex_ovf)
-                        chit = gbuf_c.data[def_ops.G_HIT] > 0.0
-                        cdepth = gbuf_c.data[def_ops.G_DEPTH]
-                        ohit = gbuf_p.data[def_ops.G_HIT] > 0.0
-                        nearer = ~ohit | (cdepth > odepth)
-                        replace = ~done & chit & pass_img & nearer
-                        acc = jnp.where(replace[None], gbuf_c.data, acc)
-                        done = done | ~chit | (chit & pass_img) | (chit & ~nearer)
-                        bound_img = jnp.where(done, 0.0, cdepth)
-                    gbuf_p = def_ops.GBuffer(data=acc)
+                    for si in range(nsamp):
+                        acc = gbufs_p[si].data
+                        odepth = acc[def_ops.G_DEPTH]
+                        ohit = acc[def_ops.G_HIT] > 0.0
+                        done = jnp.zeros((hp, wp), bool)
+                        bound_img = None
+                        for _peel in range(cutout_peels):
+                            gbuf_c = resolve_at(pk_c, si, bound=bound_img)
+                            pass_img, tex_ovf = light_ops.cutout_alpha_pass(
+                                gbuf_c, materials, textures if has_tex else None,
+                                active_tex_slots, (hp, wp),
+                                tex_pair_cap=tex_pair_cap, interpret=interp,
+                            )
+                            tex_pair_overflows.append(tex_ovf)
+                            chit = gbuf_c.data[def_ops.G_HIT] > 0.0
+                            cdepth = gbuf_c.data[def_ops.G_DEPTH]
+                            nearer = ~ohit | (cdepth > odepth)
+                            replace = ~done & chit & pass_img & nearer
+                            acc = jnp.where(replace[None], gbuf_c.data, acc)
+                            done = done | ~chit | (chit & pass_img) | (chit & ~nearer)
+                            bound_img = jnp.where(done, 0.0, cdepth)
+                        gbufs_p[si] = def_ops.GBuffer(data=acc)
                     main_count = main_count + tris_c.count
 
-                if _DEBUG_STOP_AFTER == "gbuf":
-                    return gbuf_p.data
+                if _DEBUG_STOP_AFTER == "cutout":
+                    return gbufs_p[0].data
 
                 # ---- map-free shadow resolve (exact PCF5, zero gathers) ----
                 # Always precomputed in deferred mode: masked light slots get
@@ -904,9 +1018,13 @@ class BaseRenderGraph:
                         shadow_bin_needs.append(
                             _need_mult(sbinned, _tile_cap_for(shadow_cap, n_tiles_s))
                         )
-                        smap, sband_ovf = def_ops.raster_depth(
-                            stris, sbinned, swp, shp, interpret=interp,
-                            flat_mult=tmul_shadow, y0=s_row0,
+                        pk_s = def_ops.pack_raster(
+                            stris, None, sbinned, swp, shp,
+                            flat_mult=tmul_shadow, flat_cap=fl_shadow, y0=s_row0,
+                        )
+                        _flat_need("shadow", pk_s.flat.need)
+                        smap, sband_ovf = def_ops.raster_depth_packed(
+                            pk_s, swp, shp, interpret=interp,
                         )
                         if shard_axis is not None:
                             smap = jax.lax.all_gather(smap, shard_axis, axis=0, tiled=True)
@@ -995,8 +1113,8 @@ class BaseRenderGraph:
 
                 # ---- blend-peel rasters (before shading: their shadow
                 # resolves join the opaque one in a single gather launch) ----
-                blend_gbufs = []
-                blend_bhits = []
+                blend_gbufs = [[] for _ in range(nsamp)]   # per sample
+                blend_bhits = [[] for _ in range(nsamp)]
                 if blend_peels:
                     # Transparent pass, deferred: per-pixel FRONT-to-back
                     # depth peeling with under-compositing replaces the
@@ -1005,6 +1123,7 @@ class BaseRenderGraph:
                     # counter grows the peel count adaptively. Divergence
                     # from the reference's object-sorted draws: intersecting
                     # transparents composite in exact per-pixel depth order.
+                    # Geometry work is shared across MSAA samples.
                     bvalid = (blend_obj >= 0) & visible[jnp.maximum(blend_obj, 0)]
                     bclip = transform_ops.gather_tri_clip(
                         geo.position, blend_vlocal, blend_obj, bases[:, 0], mvp
@@ -1014,7 +1133,7 @@ class BaseRenderGraph:
                     tris_b = geom_ops.cull_and_setup(
                         bclipped.clip, bclipped.valid, width, height,
                         cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
-                        subpixel=True, cap=btable, y_range=y_range,
+                        subpixel=subpix, cap=btable, y_range=y_range,
                     )
                     planes_b = def_ops.attribute_planes(
                         tris_b, bclipped.clip, bclipped.bary, bclipped.orig,
@@ -1027,113 +1146,176 @@ class BaseRenderGraph:
                         tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
                     )
                     bin_needs.append(_need_mult(binned_b, _tile_cap_for(btable, n_tiles_d)))
-                    odepth_b = gbuf_p.data[def_ops.G_DEPTH]
-                    ohit_b = gbuf_p.data[def_ops.G_HIT] > 0.0
-                    bound_b = None
-                    for _p in range(blend_peels):
-                        gbuf_b, ovf_b = def_ops.raster_resolve(
-                            tris_b, planes_b, binned_b, wp, hp, bound=bound_b,
-                            interpret=interp, flat_mult=tmul_main, y0=row0,
-                        )
-                        bin_overflows.append(ovf_b)
-                        bhit = (gbuf_b.data[def_ops.G_HIT] > 0.0) & (
-                            ~ohit_b | (gbuf_b.data[def_ops.G_DEPTH] >= odepth_b)
-                        )
-                        blend_gbufs.append(gbuf_b)
-                        blend_bhits.append(bhit)
-                        bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
+                    pk_b = def_ops.pack_raster(
+                        tris_b, planes_b, binned_b, wp, hp, flat_mult=tmul_main, y0=row0,
+                        flat_cap=fl_blend,
+                    )
+                    _flat_need("blend", pk_b.flat.need)
+                    for si in range(nsamp):
+                        odepth_b = gbufs_p[si].data[def_ops.G_DEPTH]
+                        ohit_b = gbufs_p[si].data[def_ops.G_HIT] > 0.0
+                        bound_b = None
+                        for _p in range(blend_peels):
+                            gbuf_b, ovf_b = def_ops.raster_resolve_packed(
+                                pk_b, wp, hp, bound=bound_b,
+                                interpret=interp, sofs=sample_offsets[si],
+                            )
+                            bin_overflows.append(ovf_b)
+                            bhit = (gbuf_b.data[def_ops.G_HIT] > 0.0) & (
+                                ~ohit_b | (gbuf_b.data[def_ops.G_DEPTH] >= odepth_b)
+                            )
+                            blend_gbufs[si].append(gbuf_b)
+                            blend_bhits[si].append(bhit)
+                            bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
 
+                flat_blend_gbufs = [g for per in blend_gbufs for g in per]
                 if _DEBUG_STOP_AFTER == "blendraster":
-                    return jnp.stack([g.data[def_ops.G_DEPTH] for g in blend_gbufs]) if blend_gbufs else gbuf_p.data[def_ops.G_DEPTH]
+                    return jnp.stack([g.data[def_ops.G_DEPTH] for g in flat_blend_gbufs]) if flat_blend_gbufs else gbufs_p[0].data[def_ops.G_DEPTH]
 
+                if plan and _DEBUG_STOP_AFTER == "scoords":
+                    coords_dbg = [shadow_coords_for(g) for g in gbufs_p + flat_blend_gbufs]
+                    return jnp.stack(
+                        [sx + sy + ref for per in coords_dbg for (k, sx, sy, ref, ib, hq) in per]
+                    )
+                if plan and _DEBUG_STOP_AFTER == "gather":
+                    coords_dbg = [shadow_coords_for(g) for g in gbufs_p + flat_blend_gbufs]
+                    entries_dbg = [
+                        (k, sx, sy, hq)
+                        for per in coords_dbg
+                        for (k, sx, sy, ref, ib, hq) in per
+                    ]
+                    occs_dbg, _sovf = shadow_ops.sample_shadow_maps(
+                        smaps, entries_dbg, pair_cap=shadow_pair_cap, interpret=interp,
+                    )
+                    return jnp.stack(occs_dbg)
                 if plan:
-                    svs = resolve_shadow_values([gbuf_p] + blend_gbufs)
-                    shadow_values = svs[0][:, :bh, :width]
-                    blend_svs = svs[1:]
+                    # One stacked gather launch covers every (sample, peel)
+                    # G-buffer: opaque per sample first, then blend peels.
+                    svs = resolve_shadow_values(gbufs_p + flat_blend_gbufs)
+                    shadow_vals_s = [svs[si][:, :bh, :width] for si in range(nsamp)]
+                    rest = svs[nsamp:]
+                    blend_svs = [
+                        rest[si * blend_peels : (si + 1) * blend_peels]
+                        for si in range(nsamp)
+                    ]
                 else:
-                    blend_svs = [None] * len(blend_gbufs)
+                    Lcap = dir_lights.mask.shape[0]
+                    shadow_vals_s = [
+                        jnp.ones((Lcap, bh, width), jnp.float32) for _ in range(nsamp)
+                    ]
+                    blend_svs = [[None] * blend_peels for _ in range(nsamp)]
+                shadow_values = shadow_vals_s[0]
 
                 if _DEBUG_STOP_AFTER == "shadow":
                     return shadow_values
-                if has_tex and active_tex_slots:
-                    # The MXU texture sampler needs the (32, 128)-tileable
-                    # padded layout; light the padded G-buffer and crop after
-                    # (padding pixels are no-hit -> background).
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data)
-                    bg_p = jnp.pad(
-                        background[0], ((0, hp - bh), (0, wp - width), (0, 0))
-                    )
-                    sv_p = (
-                        jnp.pad(shadow_values, ((0, 0), (0, hp - shadow_values.shape[1]), (0, wp - shadow_values.shape[2])))
-                        if shadow_values is not None else None
-                    )
-                    img, tex_ovf = light_ops.light_gbuffer(
-                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
-                        bg_p, textures=textures,
-                        shadow_values=sv_p,
-                        active_tex_slots=active_tex_slots,
-                        tex_pair_cap=tex_pair_cap, interpret=interp,
-                    )
-                    tex_pair_overflows.append(tex_ovf)
-                    img = img[:bh, :width][None]
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :bh, :width])
-                else:
-                    # has_tex with EMPTY active_tex_slots means no opaque
-                    # material samples any texture this frame — pass None so
-                    # light_gbuffer never touches the scalar atlas sampler.
-                    gbuf = def_ops.GBuffer(data=gbuf_p.data[:, :bh, :width])
-                    img = light_ops.light_gbuffer(
-                        gbuf, materials, dir_lights, point_lights, shadow_atlas, uniforms,
-                        background[0], textures=None,
-                        shadow_values=shadow_values,
-                    )[None]
+
+                # ---- lighting + blend composite, per MSAA sample ----
+                imgs = []
+                for si in range(nsamp):
+                    gbuf_full = gbufs_p[si]
+                    sv_si = shadow_vals_s[si]
+                    if has_tex and active_tex_slots:
+                        # The MXU texture sampler needs the (32, 128)-tileable
+                        # padded layout; light the padded G-buffer and crop
+                        # after (padding pixels are no-hit -> background).
+                        bg_p = jnp.pad(
+                            background[si], ((0, hp - bh), (0, wp - width), (0, 0))
+                        )
+                        sv_p = jnp.pad(
+                            sv_si, ((0, 0), (0, hp - sv_si.shape[1]), (0, wp - sv_si.shape[2]))
+                        )
+                        img_s, tex_ovf = light_ops.light_gbuffer(
+                            gbuf_full, materials, dir_lights, point_lights,
+                            shadow_atlas, uniforms, bg_p, textures=textures,
+                            shadow_values=sv_p,
+                            active_tex_slots=active_tex_slots,
+                            tex_pair_cap=tex_pair_cap, interpret=interp,
+                            debug_stop_tex=_DEBUG_STOP_AFTER == "texsample",
+                        )
+                        tex_pair_overflows.append(tex_ovf)
+                        if _DEBUG_STOP_AFTER == "texsample":
+                            return img_s
+                        img_s = img_s[:bh, :width]
+                        gbuf = def_ops.GBuffer(data=gbuf_full.data[:, :bh, :width])
+                    else:
+                        # has_tex with EMPTY active_tex_slots means no opaque
+                        # material samples any texture this frame — pass None
+                        # so light_gbuffer never touches the scalar atlas
+                        # sampler.
+                        gbuf = def_ops.GBuffer(data=gbuf_full.data[:, :bh, :width])
+                        img_s = light_ops.light_gbuffer(
+                            gbuf, materials, dir_lights, point_lights,
+                            shadow_atlas, uniforms, background[si], textures=None,
+                            shadow_values=sv_si,
+                        )
+                    if extras_sig:
+                        # Registered non-PBR archetypes shade their G-buffer
+                        # pixels now (before blend compositing over the
+                        # opaque result): the per-archetype vtable as image
+                        # passes.
+                        extras_rt = [
+                            (b, c, rt, em[0], em[1])
+                            for (n, b, c), rt, em in zip(
+                                extras_sig, extra_routines, extra_mats
+                            )
+                        ]
+                        img_s = light_ops.apply_material_routines(
+                            img_s, gbuf, extras_rt, dir_lights, point_lights,
+                            sv_si if plan else None, uniforms,
+                        )
+
+                    if blend_peels:
+                        # Shade + composite the pre-rasterized peels (front
+                        # to back, under-compositing).
+                        C = jnp.zeros((hp, wp, 3), jnp.float32)
+                        A = jnp.zeros((hp, wp), jnp.float32)
+                        bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
+                        for gbuf_b, bhit, sv_b in zip(
+                            blend_gbufs[si], blend_bhits[si], blend_svs[si]
+                        ):
+                            if has_tex and blend_tex_slots:
+                                rgba_b, tovf = light_ops.light_gbuffer(
+                                    gbuf_b, materials, dir_lights, point_lights,
+                                    shadow_atlas, uniforms, bg0, textures=textures,
+                                    shadow_values=sv_b,
+                                    active_tex_slots=blend_tex_slots,
+                                    tex_pair_cap=tex_pair_cap, interpret=interp,
+                                )
+                                tex_pair_overflows.append(tovf)
+                            else:
+                                # blend_tex_slots empty == no blend material
+                                # samples any texture; passing the atlas
+                                # anyway would drop light_gbuffer into the
+                                # per-pixel scalar sampler (tens of millions
+                                # of random gathers — measured ~3.8s of the
+                                # 4.6s r3 frame).
+                                rgba_b = light_ops.light_gbuffer(
+                                    gbuf_b, materials, dir_lights, point_lights,
+                                    shadow_atlas, uniforms, bg0,
+                                    textures=None,
+                                    shadow_values=sv_b,
+                                )
+                            a = rgba_b[..., 3] * bhit
+                            C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
+                            A = A + (1.0 - A) * a
+                            blend_deep_px = bhit.sum().astype(jnp.int32)
+                        Cc = C[:bh, :width]
+                        Ac = A[:bh, :width]
+                        img_s = jnp.concatenate(
+                            [
+                                Cc + (1.0 - Ac)[..., None] * img_s[..., :3],
+                                (Ac + (1.0 - Ac) * img_s[..., 3])[..., None],
+                            ],
+                            axis=-1,
+                        )
+                    imgs.append(img_s)
+                img = jnp.stack(imgs)  # (S, bh, width, 4)
                 if _DEBUG_STOP_AFTER == "light":
                     return img
                 vis = raster_ops.VisBuffer(
-                    depth=gbuf.depth[None], tri=jnp.zeros_like(gbuf.depth[None], jnp.int32)
+                    depth=jnp.stack([g.depth[:bh, :width] for g in gbufs_p]),
+                    tri=jnp.zeros((nsamp, bh, width), jnp.int32),
                 )
-
-                if blend_peels:
-                    # Shade + composite the pre-rasterized peels (front to
-                    # back, under-compositing).
-                    C = jnp.zeros((hp, wp, 3), jnp.float32)
-                    A = jnp.zeros((hp, wp), jnp.float32)
-                    bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
-                    for gbuf_b, bhit, sv_b in zip(blend_gbufs, blend_bhits, blend_svs):
-                        if has_tex and blend_tex_slots:
-                            rgba_b, tovf = light_ops.light_gbuffer(
-                                gbuf_b, materials, dir_lights, point_lights,
-                                shadow_atlas, uniforms, bg0, textures=textures,
-                                shadow_values=sv_b,
-                                active_tex_slots=blend_tex_slots,
-                                tex_pair_cap=tex_pair_cap, interpret=interp,
-                            )
-                            tex_pair_overflows.append(tovf)
-                        else:
-                            # blend_tex_slots empty == no blend material
-                            # samples any texture; passing the atlas anyway
-                            # would drop light_gbuffer into the per-pixel
-                            # scalar sampler (tens of millions of random
-                            # gathers — measured ~3.8s of the 4.6s r3 frame).
-                            rgba_b = light_ops.light_gbuffer(
-                                gbuf_b, materials, dir_lights, point_lights,
-                                shadow_atlas, uniforms, bg0,
-                                textures=None,
-                                shadow_values=sv_b,
-                            )
-                        a = rgba_b[..., 3] * bhit
-                        C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
-                        A = A + (1.0 - A) * a
-                        blend_deep_px = bhit.sum().astype(jnp.int32)
-                    Cc = C[:bh, :width]
-                    Ac = A[:bh, :width]
-                    img = jnp.concatenate(
-                        [
-                            Cc + (1.0 - Ac)[..., None] * img[0][..., :3],
-                            (Ac + (1.0 - Ac) * img[0][..., 3])[..., None],
-                        ],
-                        axis=-1,
-                    )[None]
             else:
                 vis = raster_scene(
                     clipped.clip,
@@ -1191,6 +1373,10 @@ class BaseRenderGraph:
                     blend_deep_px,
                     functools.reduce(jnp.maximum, bin_needs, jnp.int32(0)).astype(jnp.int32),
                     functools.reduce(jnp.maximum, shadow_bin_needs, jnp.int32(0)).astype(jnp.int32),
+                ]
+                + [
+                    jnp.asarray(flat_needs.get(c, jnp.int32(0)), jnp.int32)
+                    for c in FLAT_CLASSES
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)
