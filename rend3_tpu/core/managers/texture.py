@@ -187,10 +187,20 @@ class TextureManager:
         else:
             if self._atlas_dev is None or not self._try_incremental(tex_ops):
                 self._full_pack(tex_ops)
+            # Pre-tile the atlas for the MXU bilinear sampler here — once
+            # per atlas CHANGE — so the per-frame program never pays the
+            # hundreds-of-MB tiling reshuffle of a static source.
+            import jax.numpy as jnp
+
+            from ...ops import mxu_gather as mg
+
+            planes = jnp.moveaxis(self._atlas_dev, -1, 0)
+            tiles = jax.jit(mg.build_bilinear_tiles)(planes)
             self._device = tex_ops.TextureArrays(
                 atlas=self._atlas_dev,
                 rects=jax.device_put(self._rects),
                 mip_counts=jax.device_put(self._mip_counts),
+                tiles=tiles,
             )
         self.dirty = False
         return self._device

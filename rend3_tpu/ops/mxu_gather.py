@@ -30,10 +30,12 @@ import jax.numpy as jnp
 
 __all__ = [
     "GatherGrid",
+    "build_bilinear_tiles",
     "build_grid_tiles",
     "pair_lists",
     "sample_grid",
     "sample_grid_bilinear",
+    "sample_grid_pcf5",
 ]
 
 STILE_H = 32   # screen tile height (pixels)
@@ -129,7 +131,10 @@ def pair_lists(
     okb = ok.reshape(nT, N_BANDS, npb)
     ohx = ((cxb[..., None] == jnp.arange(Gx)) & okb[..., None]).astype(jnp.bfloat16)
     ohy = ((cyb[..., None] == jnp.arange(Gy)) & okb[..., None]).astype(jnp.bfloat16)
-    occ_b = jnp.einsum("tbpy,tbpx->tbyx", ohy, ohx, preferred_element_type=jnp.float32)
+    occ_b = jnp.einsum(
+        "tbpy,tbpx->tbyx", ohy, ohx, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # intentionally-bf16 occupancy
+    )
     occ_bits = (
         ((occ_b > 0.0).astype(jnp.int32) << jnp.arange(N_BANDS)[None, :, None, None])
         .sum(axis=1)
@@ -259,11 +264,18 @@ def sample_grid(
 
     npb = BAND_H * STILE_W
 
+    # x-select domain: rel_x in [hlo, hlo+LT) plus dx taps within the halo
+    # -> rows [0, hlo+LT+hhi), i.e. R. Slicing the select (and the rolls) to
+    # XS sublanes instead of the full 128-lane block cuts the dominant VPU
+    # multiply-reduce ~44%; roll wraparound only pollutes rows the one-hot
+    # never selects (selected rows are >= hlo and < hlo+LT <= XS-hhi).
+    XS = R
+
     def kernel(st_ref, spid_ref, sflags_ref, tile_ref, coords_ref, out_ref):
         s = pl.program_id(0)
         flags = sflags_ref[s]
         sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
-        sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
+        subX = jax.lax.broadcasted_iota(jnp.int32, (XS, 1), 0)
 
         @pl.when(((flags >> INIT_BIT) & 1) != 0)
         def _init():
@@ -286,7 +298,7 @@ def sample_grid(
                     own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= hlo) & (rel_x < hlo + LT)
                     own &= (bxv >= 0) & (bxv < Ws_src) & (byv >= 0) & (byv < Hs_src)
                     ohy = (jnp.where(own, rel_y, -1) == sub64).astype(jnp.float32)   # (64, npb)
-                    ohx = (jnp.where(own, rel_x, -1) == sub128).astype(jnp.float32)  # (128, npb)
+                    ohx = (jnp.where(own, rel_x, -1) == subX).astype(jnp.float32)    # (XS, npb)
 
                     rows = []
                     for dy in dys:
@@ -295,11 +307,11 @@ def sample_grid(
                             trows, ohy,
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        )                                            # (128 cols, npb)
+                        )[:XS]                                       # (XS cols, npb)
                         for dx in dxs:
                             if (dx, dy) not in offsets:
                                 continue
-                            shifted = pltpu.roll(r2, (-dx) % STILE_W, 0) if dx else r2
+                            shifted = pltpu.roll(r2, (-dx) % XS, 0) if dx else r2
                             rows.append((ohx * shifted).sum(axis=0, keepdims=True))
                     # rows ordered (dy-major, dx-minor); map back to the
                     # caller's offset order.
@@ -331,6 +343,170 @@ def sample_grid(
     return out, need
 
 
+def sample_grid_pcf5(
+    img: jnp.ndarray,              # (Hs, Ws) f32 depth grid (reverse-Z)
+    bx: jnp.ndarray,               # (H, W) int32 floor(sx-0.5) base texel col
+    by: jnp.ndarray,               # (H, W) int32 floor(sy-0.5) base texel row
+    fx: jnp.ndarray,               # (H, W) f32 x bilerp fraction
+    fy: jnp.ndarray,               # (H, W) f32 y bilerp fraction
+    ref: jnp.ndarray,              # (H, W) f32 reference depth (GE compare)
+    valid: jnp.ndarray,            # (H, W) bool
+    *,
+    pair_cap: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PCF5-with-bilinear-GE resolved INSIDE the gather kernel.
+
+    Semantically identical to sample_grid(img, ..., PCF 12-tap offsets)
+    followed by shadow.pcf5_from_occlusion — the reference's single fused
+    PCF resolve (opaque.wgsl:471-520) — but the 12 occluder depths never
+    leave VMEM: each (screen tile, grid cell) pair compares its window
+    values against ref and bilerps the five taps in-register, emitting ONE
+    channel instead of 12 (half the output traffic, and no XLA-side
+    12-plane compare pass over the stacked entries image).
+
+    Returns (pcf (H, W) f32 — 0 where the pixel was invalid / uncovered,
+    callers substitute 1.0 there — and the needed pair cap)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = bx.shape
+    assert H % STILE_H == 0 and W % STILE_W == 0, (H, W)
+    n_rows, n_cols = H // STILE_H, W // STILE_W
+    nT = n_rows * n_cols
+    npx = STILE_H * STILE_W
+
+    Hs_src, Ws_src = img.shape
+    # The 12-tap PCF5 window: dy in [-1, 2], dx in [-1, 2], minus corners.
+    offsets = [
+        (0, -1), (1, -1),
+        (-1, 0), (0, 0), (1, 0), (2, 0),
+        (-1, 1), (0, 1), (1, 1), (2, 1),
+        (0, 2), (1, 2),
+    ]
+    dys = (-1, 0, 1, 2)
+    hlo, hhi = 1, 2
+    grid = build_grid_tiles(img, hlo, hhi)
+    Gy, Gx, R = grid.Gy, grid.Gx, grid.R
+
+    cap = min(pair_cap, Gy * Gx)
+    ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
+    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
+    bits = bits.astype(jnp.int32).reshape(-1)
+    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    need = jnp.maximum(need, qneed)
+
+    def tile_flat(a):
+        return (
+            a.reshape(n_rows, STILE_H, n_cols, STILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(nT, npx)
+        )
+
+    bad = jnp.int32(-(1 << 20))
+    bxt = jnp.where(tile_flat(valid), tile_flat(bx), bad)
+    byt = jnp.where(tile_flat(valid), tile_flat(by), bad)
+    coords = jnp.stack([bxt, byt], axis=1)                   # (nT, 2, npx)
+    fracs = jnp.stack(
+        [tile_flat(fx), tile_flat(fy), tile_flat(ref)], axis=1
+    ).astype(jnp.float32)                                    # (nT, 3, npx)
+
+    npb = BAND_H * STILE_W
+    XS = R  # x-select domain (see sample_grid)
+
+    def kernel(st_ref, spid_ref, sflags_ref, tile_ref, coords_ref, fracs_ref, out_ref):
+        s = pl.program_id(0)
+        flags = sflags_ref[s]
+        sub64 = jax.lax.broadcasted_iota(jnp.int32, (LT, 1), 0)
+        subX = jax.lax.broadcasted_iota(jnp.int32, (XS, 1), 0)
+
+        @pl.when(((flags >> INIT_BIT) & 1) != 0)
+        def _init():
+            out_ref[...] = jnp.zeros((1, 8, npx), jnp.float32)
+
+        @pl.when((flags & ((1 << N_BANDS) - 1)) != 0)
+        def _pair():
+            pid = spid_ref[s]
+            pbits = flags
+            cy = pid // Gx
+            cx = pid - cy * Gx
+            # Nearest occluder anywhere in this cell (+halo): any pixel whose
+            # reference depth is >= it compares GE against every window texel
+            # — the whole band resolves to "lit" without a single select.
+            # Most of a frame's (tile, cell) pairs sit over caster-free map
+            # regions (tmax == 0), so this skips the expensive path outright.
+            tmax = jnp.max(tile_ref[0])
+            for b in range(N_BANDS):
+                @pl.when(((pbits >> b) & 1) != 0)
+                def _band(b=b):
+                    sl = pl.ds(b * npb, npb)
+                    bxv = coords_ref[0, 0:1, sl]                 # (1, npb)
+                    byv = coords_ref[0, 1:2, sl]
+                    fxv = fracs_ref[0, 0:1, sl]
+                    fyv = fracs_ref[0, 1:2, sl]
+                    refv = fracs_ref[0, 2:3, sl]
+                    rel_x = bxv - cx * LT + hlo
+                    rel_y = byv - cy * LT
+                    own = (rel_y >= 0) & (rel_y < LT) & (rel_x >= hlo) & (rel_x < hlo + LT)
+                    own &= (bxv >= 0) & (bxv < Ws_src) & (byv >= 0) & (byv < Hs_src)
+                    own_f = own.astype(jnp.float32)
+                    minref = jnp.min(jnp.where(own, refv, 1.0))
+
+                    @pl.when(minref >= tmax)
+                    def _all_lit():
+                        out_ref[0, 0, sl] = out_ref[0, 0, sl] + own_f[0]
+
+                    @pl.when(minref < tmax)
+                    def _resolve():
+                        ohy = (jnp.where(own, rel_y, -1) == sub64).astype(jnp.float32)
+                        ohx = (jnp.where(own, rel_x, -1) == subX).astype(jnp.float32)
+
+                        cmp = {}
+                        for dy in dys:
+                            trows = tile_ref[0, pl.ds(hlo + dy, LT), :]  # (64, 128)
+                            r2 = jax.lax.dot_general(
+                                trows, ohy,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )[:XS]                                       # (XS, npb)
+                            for dx in (-1, 0, 1, 2):
+                                if (dx, dy) not in offsets:
+                                    continue
+                                shifted = pltpu.roll(r2, (-dx) % XS, 0) if dx else r2
+                                occ = (ohx * shifted).sum(axis=0, keepdims=True)
+                                cmp[(dx, dy)] = (refv >= occ).astype(jnp.float32)
+
+                        def tap(ox, oy):
+                            top = cmp[(ox, oy)] * (1.0 - fxv) + cmp[(ox + 1, oy)] * fxv
+                            bot = cmp[(ox, oy + 1)] * (1.0 - fxv) + cmp[(ox + 1, oy + 1)] * fxv
+                            return top * (1.0 - fyv) + bot * fyv
+
+                        total = tap(0, 0) + tap(0, 1) + tap(0, -1) + tap(1, 0) + tap(-1, 0)
+                        pcf = total * (0.2 * own_f)
+                        out_ref[0, 0, sl] = out_ref[0, 0, sl] + pcf[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+            pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nT, 8, npx), jnp.float32),
+        interpret=interpret,
+    )(st, spid, sflags, grid.tiles, coords, fracs)
+
+    out = out[:, 0].reshape(n_rows, n_cols, STILE_H, STILE_W)
+    out = out.transpose(0, 2, 1, 3).reshape(H, W)
+    return out, need
+
+
 def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
     """planes (C, H, W) -> (Gy*Gx, R, C*128): per-cell blocks with the C
     channel blocks side by side on lanes so one matmul row-selects all
@@ -355,6 +531,16 @@ def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
     return GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=hlo, R=R)
 
 
+def build_bilinear_tiles(planes: jnp.ndarray) -> jnp.ndarray:
+    """Pre-tile (C, H, W) source planes for sample_grid_bilinear's `tiles=`.
+
+    The tiling is a pure relayout of the source (a multi-hundred-MB
+    reshuffle at atlas scale); for grids that are static across frames
+    (the texture atlas) callers build it ONCE outside the frame program
+    and pass it in, instead of paying the reshuffle every frame."""
+    return _build_grid_tiles_multi(planes, 0, 1).tiles
+
+
 def sample_grid_bilinear(
     planes: jnp.ndarray,           # (C, Hs, Ws) f32 source planes
     bx: jnp.ndarray,               # (H, W) i32 floor texel col (left tap)
@@ -367,6 +553,7 @@ def sample_grid_bilinear(
     pair_cap: int = 16,
     dot_dtype=jnp.float32,
     interpret: bool = False,
+    tiles: jnp.ndarray = None,     # optional pre-built build_bilinear_tiles(planes)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted 2x2 bilinear gather on the MXU, all C channels at once.
 
@@ -394,7 +581,13 @@ def sample_grid_bilinear(
     CL = _cdiv(C, 8) * 8
 
     Hs_src, Ws_src = planes.shape[1], planes.shape[2]
-    grid = _build_grid_tiles_multi(planes, 0, 1)
+    if tiles is not None:
+        Gy, Gx = _cdiv(Hs_src, LT), _cdiv(Ws_src, LT)
+        R = _cdiv(LT + 1, 8) * 8
+        assert tiles.shape == (Gy * Gx, R, C * STILE_W), (tiles.shape, Gy, Gx, R, C)
+        grid = GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=0, R=R)
+    else:
+        grid = _build_grid_tiles_multi(planes, 0, 1)
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
@@ -421,11 +614,16 @@ def sample_grid_bilinear(
 
     npb = BAND_H * STILE_W
 
+    # x-select domain: rel_x < LT and the +1 tap -> rows [0, LT], padded to
+    # sublane granularity. Slicing the per-channel select to XS rows (vs the
+    # full 128-lane block) cuts the dominant VPU multiply-reduce ~44%.
+    XS = _cdiv(LT + 2, 8) * 8
+
     def kernel(st_ref, spid_ref, sflags_ref, tile_ref, coords_ref, fracs_ref, out_ref):
         s = pl.program_id(0)
         flags = sflags_ref[s]
         subR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        sub128 = jax.lax.broadcasted_iota(jnp.int32, (STILE_W, 1), 0)
+        subX = jax.lax.broadcasted_iota(jnp.int32, (XS, 1), 0)
 
         @pl.when(((flags >> INIT_BIT) & 1) != 0)
         def _init():
@@ -455,16 +653,29 @@ def sample_grid_bilinear(
                     w_area = jnp.where(own, wtv, 0.0)
                     # Two nonzeros per column: the y-lerp lives in the matmul.
                     ohy = (ry == subR) * (w_area * (1.0 - fyv)) + (ry + 1 == subR) * (w_area * fyv)
-                    ohx = (rx == sub128) * (1.0 - fxv) + (rx + 1 == sub128) * fxv
+                    ohx = (rx == subX) * (1.0 - fxv) + (rx + 1 == subX) * fxv
 
                     trows = tile_ref[0]                          # (R, C*128)
+                    # Precision must be explicit both ways: the package sets
+                    # the GLOBAL default matmul precision to float32, which
+                    # stamps contract_precision<fp32> onto this dot — and
+                    # Mosaic rejects fp32-precision bf16 matmuls ("Bad lhs
+                    # type"); conversely DEFAULT precision on f32 operands
+                    # lets the MXU truncate to one bf16 pass, silently
+                    # degrading the f32 fallback path.
+                    prec = (
+                        jax.lax.Precision.DEFAULT
+                        if dot_dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST
+                    )
                     r2 = jax.lax.dot_general(
                         trows.astype(dot_dtype), ohy.astype(dot_dtype),
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )                                            # (C*128, npb)
                     for c in range(C):
-                        rc = r2[c * STILE_W : (c + 1) * STILE_W]
+                        rc = r2[c * STILE_W : c * STILE_W + XS]
                         val = (ohx * rc).sum(axis=0, keepdims=True)  # (1, npb)
                         out_ref[0, c, sl] = out_ref[0, c, sl] + val[0]
 

@@ -317,7 +317,8 @@ def _build_tile_lists(tris, sx, sy, hit, width, height, size, *, lt, cap, row_cu
     ohx = ((pjx[..., None] == ar) & thf[..., None]).astype(jnp.bfloat16)  # (nT, npx, G)
     ohy = ((pjy[..., None] == ar) & thf[..., None]).astype(jnp.bfloat16)
     occ2d = jnp.einsum("tpy,tpx->tyx", ohy, ohx,
-                       preferred_element_type=jnp.float32)  # (nT, G, G)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)  # (nT, G, G)
     occ_flat = (occ2d > 0.0).reshape(n_tiles, G * G).astype(jnp.bfloat16)
 
     # ---- 2. Morton-sort casters, bin GROUPS of 8 ----
@@ -390,6 +391,7 @@ def _build_tile_lists(tris, sx, sy, hit, width, height, size, *, lt, cap, row_cu
             mh.reshape(CH, G * G), occ_flat,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # intentionally-bf16 0/1 mask
         )  # (CH, n_tiles)
         return (hits > 0.0).T  # (n_tiles, CH)
 
@@ -659,6 +661,67 @@ def sample_shadow_maps(
         interpret=interpret,
     )
     return [occ_all[:, k * H : (k + 1) * H] for k in range(len(entries))], overflow
+
+
+def resolve_shadow_pcf5(
+    smaps,               # list of (size_l, size_l) rasterized max-depth maps
+    entries,             # list of (map_index, sx, sy, ref, hit) per (G-buffer, light)
+    *,
+    pair_cap: int = 32,
+    interpret: bool = False,
+):
+    """All PCF5 shadow resolves of a frame in ONE fused MXU launch.
+
+    Same map/entry row-stacking as sample_shadow_maps, but the compare and
+    five-tap bilerp run inside the kernel (mxu_gather.sample_grid_pcf5) —
+    the 12 occluder depths never reach HBM and the XLA-side 12-plane
+    compare pass disappears. Semantically identical to sample_shadow_maps
+    + pcf5_from_occlusion with the invalid -> 1.0 substitution applied
+    (the reference's single fused resolve, opaque.wgsl:471-520).
+
+    Returns (list of (H, W) pcf factors per entry, overflow)."""
+    from . import mxu_gather as mg
+
+    if not entries:
+        return [], jnp.int32(0)
+
+    maxw = max(int(m.shape[1]) for m in smaps)
+    bases = []
+    parts = []
+    rows = 0
+    for m in smaps:
+        bases.append(rows)
+        hpad = -(-int(m.shape[0]) // mg.LT) * mg.LT + mg.LT  # gap >= PCF halo
+        parts.append(jnp.pad(m, ((0, hpad - m.shape[0]), (0, maxw - m.shape[1]))))
+        rows += hpad
+    stacked = jnp.concatenate(parts, axis=0)
+
+    bxs, bys, fxs, fys, refs, valids = [], [], [], [], [], []
+    for mi, sx, sy, ref, hit in entries:
+        h_m, w_m = smaps[mi].shape
+        xb = jnp.floor(sx - 0.5)
+        yb = jnp.floor(sy - 0.5)
+        bx = xb.astype(jnp.int32)
+        by = yb.astype(jnp.int32)
+        ok = hit & (bx >= 0) & (bx < w_m) & (by >= 0) & (by < h_m)
+        bxs.append(bx)
+        bys.append(by + bases[mi])
+        fxs.append((sx - 0.5) - xb)
+        fys.append((sy - 0.5) - yb)
+        refs.append(ref)
+        valids.append(ok)
+
+    H = entries[0][1].shape[0]
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    oks = cat(valids)
+    pcf_all, overflow = mg.sample_grid_pcf5(
+        stacked, cat(bxs), cat(bys), cat(fxs), cat(fys), cat(refs), oks,
+        pair_cap=pair_cap, interpret=interpret,
+    )
+    # Uncovered pixels (invalid base / dropped pair) read 0 from the kernel;
+    # the sample_shadow_maps path yields 1.0 (lit) there — substitute.
+    pcf_all = jnp.where(oks, pcf_all, 1.0)
+    return [pcf_all[k * H : (k + 1) * H] for k in range(len(entries))], overflow
 
 
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

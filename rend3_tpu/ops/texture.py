@@ -32,10 +32,13 @@ MAX_MIPS = 14
 NSLOT = 10  # material texture slots (shade.TEX_* order)
 
 # MXU dtype for the bilinear gather's select-and-lerp matmuls. bf16 runs the
-# MXU ~4x faster than f32 on v5e and the sampler was measured pair-bound at
-# representative scale; texel values and lerp weights carry <= 8 significant
-# bits of perceptual content, and the golden suite (mae <= 0.004) gates the
-# accuracy. Override with REND3_TPU_TEX_DOT=f32 to fall back.
+# MXU ~4x faster than f32 on v5e (measured 123.5 -> 44.9 ms on the bench
+# scene's 2-slot sampler); texel values and lerp weights carry <= 8
+# significant bits of perceptual content and the golden suite (mae <= 0.004)
+# gates the accuracy. The earlier Mosaic "Bad lhs type" failure was the
+# package-global float32 matmul-precision stamping fp32 contract precision
+# onto the bf16 dot — fixed by precision=DEFAULT at the dot itself.
+# Override with REND3_TPU_TEX_DOT=f32 to fall back.
 import os as _os
 
 TEX_DOT_DTYPE = jnp.float32 if _os.environ.get("REND3_TPU_TEX_DOT") == "f32" else jnp.bfloat16
@@ -45,6 +48,10 @@ class TextureArrays(NamedTuple):
     atlas: jnp.ndarray       # (A_H, A_W, 4) f32 linear
     rects: jnp.ndarray       # (N+1, MAX_MIPS, 4) f32: x, y, w, h texels
     mip_counts: jnp.ndarray  # (N+1,) i32   (slot 0 = null texture)
+    # Optional mxu_gather.build_bilinear_tiles relayout of the atlas, built
+    # once per atlas change by the texture manager so the frame program
+    # never pays the tiling reshuffle (the atlas is static across frames).
+    tiles: Optional[jnp.ndarray] = None
 
 
 class CubeArrays(NamedTuple):
@@ -327,6 +334,7 @@ def sample_textures_grid(
     pair_cap: int = 16,
     interpret: bool = False,
     hit: jnp.ndarray = None,  # optional (N,) bool: only sample hit pixels
+    dot_dtype=None,           # MXU dtype override (default TEX_DOT_DTYPE)
 ):
     """Deferred-path textureSampleGrad for (H, W)-organized pixels through
     the MXU bilinear gather (mxu_gather.sample_grid_bilinear).
@@ -423,7 +431,9 @@ def sample_textures_grid(
     planes = jnp.moveaxis(tex.atlas, -1, 0)  # (4, AH, AW)
     out, overflow = mg.sample_grid_bilinear(
         planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy), cat(q_wt), cat(q_valid),
-        pair_cap=pair_cap, interpret=interpret, dot_dtype=TEX_DOT_DTYPE,
+        pair_cap=pair_cap, interpret=interpret,
+        dot_dtype=TEX_DOT_DTYPE if dot_dtype is None else dot_dtype,
+        tiles=tex.tiles,
     )
     out = out.reshape(4, len(q_bx), H, W)
 

@@ -376,23 +376,30 @@ class BaseRenderGraph:
         # Blend triangles: per-object back-to-front distance sort each frame
         # (reference: batching.rs sort-key distance ordering for BLENDING).
         cam_loc = cam.location()
-        blend_parts = []
         if blend_items:
-            keyed = []
-            for tris, oidx in blend_items:
-                center = om.world_spheres[oidx, :3]
-                dist = float(np.linalg.norm(center - cam_loc))
-                keyed.append((dist, tris, oidx))
-            keyed.sort(key=lambda k: -k[0])  # far first
-            for _, tris, oidx in keyed:
-                blend_parts.append(
-                    np.concatenate([tris, np.full((len(tris), 1), oidx, dtype=np.int32)], axis=1)
-                )
-        blend = (
-            np.concatenate(blend_parts, axis=0).astype(np.int32)
-            if blend_parts
-            else np.zeros((0, 4), dtype=np.int32)
-        )
+            # Vectorized far-first object order (the reference's v0.2.0
+            # CHANGELOG headline was exactly de-pythonizing this per-frame
+            # loop): one argsort over per-object camera distances, then one
+            # concatenate in sorted order.
+            oidxs = np.fromiter((oidx for _t, oidx in blend_items), np.int64, len(blend_items))
+            centers = om.world_spheres[oidxs, :3]
+            dists = np.linalg.norm(centers - cam_loc[None, :], axis=1)
+            order = np.argsort(-dists, kind="stable")
+            blend = np.concatenate(
+                [
+                    np.concatenate(
+                        [
+                            blend_items[i][0],
+                            np.full((len(blend_items[i][0]), 1), blend_items[i][1], dtype=np.int32),
+                        ],
+                        axis=1,
+                    )
+                    for i in order
+                ],
+                axis=0,
+            ).astype(np.int32)
+        else:
+            blend = np.zeros((0, 4), dtype=np.int32)
         # No padding slots when there are no blend triangles: every padded
         # slot costs a full-image shading step in the sequential blend scan.
         bcap = _pad_pow2(len(blend), minimum=4) if len(blend) else 0
@@ -1082,18 +1089,19 @@ class BaseRenderGraph:
 
                 def resolve_shadow_values(gbuf_list):
                     """(L, hp, wp) shadow factors for EVERY G-buffer (opaque
-                    + all blend peels) through ONE stacked MXU gather launch
-                    (ops/shadow.py sample_shadow_maps): the reference resolves
-                    exactly one PCF per fragment (opaque.wgsl:471-520); one
-                    launch per (peel, light) was the round-2 frame's largest
-                    multiplier."""
+                    + all blend peels) through ONE stacked fused-PCF launch
+                    (ops/shadow.py resolve_shadow_pcf5): the reference
+                    resolves exactly one PCF per fragment
+                    (opaque.wgsl:471-520); one launch per (peel, light) was
+                    the round-2 frame's largest multiplier, and the 12-plane
+                    occluder image + XLA-side compare pass were round 3's."""
                     coords = [shadow_coords_for(g) for g in gbuf_list]
                     entries = [
-                        (k, sx, sy, hitp)
+                        (k, sx, sy, ref, hitp)
                         for per in coords
                         for (k, sx, sy, ref, ib, hitp) in per
                     ]
-                    occs, sovf = shadow_ops.sample_shadow_maps(
+                    pcfs, sovf = shadow_ops.resolve_shadow_pcf5(
                         smaps, entries, pair_cap=shadow_pair_cap, interpret=interp,
                     )
                     pair_overflows.append(sovf)
@@ -1103,8 +1111,7 @@ class BaseRenderGraph:
                     for per in coords:
                         svals = []
                         for (k, sx, sy, ref, ib, hitp) in per:
-                            pcf = shadow_ops.pcf5_from_occlusion(occs[i], sx, sy, ref)
-                            svals.append(jnp.where(ib, pcf, 1.0))
+                            svals.append(jnp.where(ib, pcfs[i], 1.0))
                             i += 1
                         while len(svals) < L:
                             svals.append(jnp.ones((hp, wp), jnp.float32))

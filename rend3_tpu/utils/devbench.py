@@ -54,7 +54,19 @@ def time_op(fn: Callable, *args, iters: int = 8, name: str = "") -> float:
     fn must be traceable; its first array leaf gets an additive perturbation
     each iteration so the loop cannot collapse."""
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    fidx = next(i for i, l in enumerate(leaves) if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+    fidx = next(
+        (i for i, l in enumerate(leaves)
+         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)),
+        None,
+    )
+    if fidx is None:
+        # All-integer inputs: perturb the first integer leaf by i >> 30
+        # (zero for any practical iter count, but data-dependent on the
+        # loop index so XLA cannot hoist the body out of the loop).
+        fidx = next(
+            i for i, l in enumerate(leaves)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.integer)
+        )
 
     @jax.jit
     def looped(*args):
@@ -62,7 +74,10 @@ def time_op(fn: Callable, *args, iters: int = 8, name: str = "") -> float:
 
         def body(i, acc):
             ls = list(leaves)
-            ls[fidx] = ls[fidx] + (i.astype(ls[fidx].dtype) * jnp.asarray(1e-12, ls[fidx].dtype))
+            if jnp.issubdtype(ls[fidx].dtype, jnp.floating):
+                ls[fidx] = ls[fidx] + (i.astype(ls[fidx].dtype) * jnp.asarray(1e-12, ls[fidx].dtype))
+            else:
+                ls[fidx] = ls[fidx] + (i >> 30).astype(ls[fidx].dtype)
             out = fn(*jax.tree_util.tree_unflatten(treedef, ls))
             return acc + _reduce_small(out)
 
@@ -73,7 +88,10 @@ def time_op(fn: Callable, *args, iters: int = 8, name: str = "") -> float:
     ts = []
     for k in range(2):
         leaves2 = list(leaves)
-        leaves2[fidx] = leaves2[fidx] + jnp.asarray((k + 1) * 1e-10, leaves2[fidx].dtype)
+        if jnp.issubdtype(leaves2[fidx].dtype, jnp.floating):
+            leaves2[fidx] = leaves2[fidx] + jnp.asarray((k + 1) * 1e-10, leaves2[fidx].dtype)
+        else:
+            leaves2[fidx] = leaves2[fidx] + jnp.asarray(k + 1, leaves2[fidx].dtype) * 0
         args2 = jax.tree_util.tree_unflatten(treedef, leaves2)
         t0 = time.perf_counter()
         float(jax.device_get(looped(*args2)))

@@ -133,15 +133,19 @@ def test_sample_textures_grid_matches_scalar_sampler():
     mflags = np.where(rng.uniform(size=N) < 0.2, MF.NEAREST, 0).astype(np.int32)
 
     import functools
-    f = jax.jit(functools.partial(
-        tex_ops.sample_textures_grid, hw=(H, W), active_slots=(0, 1),
-        pair_cap=64, interpret=True))
-    samples, ovf = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
-                     jnp.asarray(duv), jnp.asarray(mflags))
-    assert int(ovf) <= 64  # needed pair cap within pair_cap=64
-    assert samples[2] is None  # inactive slot
-    for q in (0, 1):
-        ref = np.asarray(tex_ops.sample_textures(
-            tex, jnp.asarray(mtex[:, q]), jnp.asarray(coords),
-            jnp.asarray(duv), jnp.asarray(mflags)))
-        np.testing.assert_allclose(np.asarray(samples[q]), ref, rtol=2e-5, atol=2e-5)
+    # f32 must match the scalar oracle tightly; the production bf16 default
+    # trades <= ~1.3 8-bit-LSB of texel accuracy for ~2.75x MXU throughput
+    # (gated here and by the golden suite's mae <= 0.004).
+    for dt, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 6e-3)):
+        f = jax.jit(functools.partial(
+            tex_ops.sample_textures_grid, hw=(H, W), active_slots=(0, 1),
+            pair_cap=64, interpret=True, dot_dtype=dt))
+        samples, ovf = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
+                         jnp.asarray(duv), jnp.asarray(mflags))
+        assert int(ovf) <= 64  # needed pair cap within pair_cap=64
+        assert samples[2] is None  # inactive slot
+        for q in (0, 1):
+            ref = np.asarray(tex_ops.sample_textures(
+                tex, jnp.asarray(mtex[:, q]), jnp.asarray(coords),
+                jnp.asarray(duv), jnp.asarray(mflags)))
+            np.testing.assert_allclose(np.asarray(samples[q]), ref, rtol=tol, atol=tol)
