@@ -99,7 +99,7 @@ def occlusion_test(
         return jnp.pad(a, (0, Vp - V), constant_values=fill).reshape(Vp // 128, 128)
 
     valid = jnp.ones(V, bool) if live is None else live
-    vals, _ovf = mg.sample_grid(
+    vals, _ovf, _q = mg.sample_grid(
         atlas, img(bx, 0), img(by, 0), img(valid, False),
         ((0, 0), (1, 0), (0, 1), (1, 1)), pair_cap=64, interpret=interpret,
     )

@@ -44,9 +44,11 @@ def light_gbuffer(
     tex_pair_cap: int = 16,
     interpret: bool = False,
     debug_stop_tex: bool = False,   # profiling: return after texture sampling
+    tex_queue_cap: int = None,      # adaptive sampler step-queue size
 ):
-    """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow) when the
-    MXU texture sampler is active (active_tex_slots is not None)."""
+    """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow, qtotal)
+    when the MXU texture sampler is active (active_tex_slots is not
+    None)."""
     CH, H, W = gbuf.data.shape
     N = H * W
     g = gbuf.data.reshape(CH, N)
@@ -73,6 +75,7 @@ def light_gbuffer(
     mtex = None
     tex_samples = None
     tex_overflow = jnp.int32(0)
+    tex_qtotal = jnp.int32(0)
     if textures is not None:
         mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
         # Screen-space uv derivatives (quad-derivative equivalent).
@@ -88,14 +91,15 @@ def light_gbuffer(
             coords = jnp.einsum(
                 "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
             )[:, :2]
-            tex_samples, tex_overflow = tex_ops.sample_textures_grid(
+            tex_samples, tex_overflow, tex_qtotal = tex_ops.sample_textures_grid(
                 textures, mtex, coords, duv, mflags, (H, W),
                 tuple(active_tex_slots),
                 pair_cap=tex_pair_cap, interpret=interpret, hit=hit,
+                queue_cap=tex_queue_cap,
             )
             if debug_stop_tex:
                 dbg = sum(s for s in tex_samples if s is not None)
-                return dbg.reshape(H, W, 4), tex_overflow
+                return dbg.reshape(H, W, 4), tex_overflow, tex_qtotal
 
     sv = shadow_values.reshape(shadow_values.shape[0], N) if shadow_values is not None else None
     out_rgb, out_a = _shade_pixels(
@@ -107,7 +111,7 @@ def light_gbuffer(
     rgba = jnp.where(hit[:, None], rgba, background.reshape(N, 4))
     img = rgba.reshape(H, W, 4)
     if active_tex_slots is not None:
-        return img, tex_overflow
+        return img, tex_overflow, tex_qtotal
     return img
 
 
@@ -180,12 +184,13 @@ def cutout_alpha_pass(
     *,
     tex_pair_cap: int = 16,
     interpret: bool = False,
+    tex_queue_cap: int = None,
 ):
     """Per-pixel cutout alpha test over a (padded) G-buffer: True where the
     pixel's fragment survives (alpha >= cutoff, or the material has no
     cutoff). The deferred-path equivalent of the reference's per-fragment
     discard (depth.wgsl:105-124); used by the cutout depth-peel loop.
-    Returns ((H, W) bool, tex pair overflow)."""
+    Returns ((H, W) bool, tex pair overflow, sampler step total)."""
     from .shade import PBR_ALPHA_CUTOUT, PBR_UVT0, TEX_ALBEDO, albedo_alpha
 
     H, W = hw
@@ -209,6 +214,7 @@ def cutout_alpha_pass(
 
     tex_a = None
     overflow = jnp.int32(0)
+    qtotal = jnp.int32(0)
     if textures is not None and TEX_ALBEDO in tuple(active_tex_slots):
         from . import texture as tex_ops
 
@@ -221,13 +227,13 @@ def cutout_alpha_pass(
         coords = jnp.einsum(
             "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
         )[:, :2]
-        samples, overflow = tex_ops.sample_textures_grid(
+        samples, overflow, qtotal = tex_ops.sample_textures_grid(
             textures, mtex, coords, duv, mflags, (H, W), (TEX_ALBEDO,),
             pair_cap=tex_pair_cap, interpret=interpret,
-            hit=(g[D.G_HIT] > 0.0),
+            hit=(g[D.G_HIT] > 0.0), queue_cap=tex_queue_cap,
         )
         tex_a = samples[TEX_ALBEDO][:, 3]
 
     alpha = albedo_alpha(mdata, mflags, vcol, tex_a)
     ok = (cutoff <= 0.0) | (alpha >= cutoff)
-    return ok.reshape(H, W), overflow
+    return ok.reshape(H, W), overflow, qtotal

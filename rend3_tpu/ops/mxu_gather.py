@@ -159,21 +159,29 @@ def _pair_step_tables(
     nT: int,
     cap: int,
     slack_tiles: int = 16,
+    queue_cap: int = None,
 ):
     """1D work queue over actual (screen tile, source cell) pairs: one grid
     step per real pair plus one init step per pair-less tile. Returns
-    (step_tile, step_pid, step_flags, n_steps_static, queue_need) —
-    queue_need is the pair cap the step-queue budget S(cap) would have
-    needed to hold every real pair (0 when everything fit).
+    (step_tile, step_pid, step_flags, n_steps_static, queue_need, total) —
+    queue_need is the pair cap the formula budget S(cap) would have needed
+    to hold every real pair (0 when everything fit, or always 0 with an
+    explicit queue_cap); total is the RAW number of steps this launch
+    actually required (init + real pairs), for adaptive queue sizing.
 
-    Two sizing rules learned the hard way:
+    Sizing rules learned the hard way:
       * a 2D (tile, cap) grid pays the Mosaic step overhead for every empty
         slot, making kernel time scale with the pair CAPACITY (adaptive cap
         growth turned a ~1k-pair frame into a quarter-million grid steps);
       * the per-pair tables must be folded into per-STEP tables here on the
         host side — prefetching the raw (nT*cap) pids/bits into SMEM walks
         off the ~1 MB SMEM cliff at representative scale (nT=2040, cap=64
-        is 510 KB per table; round-2 bench crash).
+        is 510 KB per table; round-2 bench crash);
+      * even the 1D formula queue S = 5*nT + slack*cap is ~60-80% PADDING
+        steps on real frames, and each no-op Mosaic step still costs ~1 us —
+        the round-3 bench spent ~45 ms walking a 43k-step texture queue with
+        ~10k real steps. queue_cap (host-adaptive, reported via `total`)
+        sizes S to the frame's real step count instead.
 
     step_flags packs the pair's band bits (bits 0..N_BANDS-1; zero for
     padding steps so no work fires) plus INIT_BIT for each tile's first
@@ -185,8 +193,11 @@ def _pair_step_tables(
     base = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
     )
-    total = base[-1] + per_tile[-1]
-    S = nT + 4 * nT + slack_tiles * cap  # typical ~2-4 pairs/tile + worst-tile slack
+    total = (base[-1] + per_tile[-1]).astype(jnp.int32)
+    if queue_cap is None:
+        S = nT + 4 * nT + slack_tiles * cap  # typical ~2-4 pairs/tile + worst-tile slack
+    else:
+        S = max(8, int(queue_cap))
     s = jnp.arange(S, dtype=jnp.int32)
     tile = _rank_of(base, S, nT)
     j = s - base[tile]
@@ -198,11 +209,14 @@ def _pair_step_tables(
     step_pid = jnp.where(real, pids[flat], 0).astype(jnp.int32)
     init = jnp.where(step_j == 0, jnp.int32(1 << INIT_BIT), 0)
     step_flags = (jnp.where(real, bits[flat], 0) | init).astype(jnp.int32)
-    # S = 5*nT + slack_tiles*cap: invert for the cap that makes S >= total.
-    queue_need = jnp.where(
-        total > S, -(-(total - (S - slack_tiles * cap)) // slack_tiles), 0
-    ).astype(jnp.int32)
-    return step_tile, step_pid, step_flags, S, queue_need
+    if queue_cap is None:
+        # S = 5*nT + slack_tiles*cap: invert for the cap that makes S >= total.
+        queue_need = jnp.where(
+            total > S, -(-(total - (S - slack_tiles * cap)) // slack_tiles), 0
+        ).astype(jnp.int32)
+    else:
+        queue_need = jnp.int32(0)
+    return step_tile, step_pid, step_flags, S, queue_need, total
 
 
 def sample_grid(
@@ -214,13 +228,15 @@ def sample_grid(
     *,
     pair_cap: int = 32,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    queue_cap: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """img[by+dy, bx+dx] for every pixel and every static offset.
 
-    Returns values (n_off, H, W) f32 (0.0 where invalid / out of grid /
-    dropped by pair overflow) and the needed pair cap (compare to the
-    static pair_cap: > means pairs were dropped and the host should rebuild
-    with cap = the returned value).
+    Returns (values, need, qtotal): values (n_off, H, W) f32 (0.0 where
+    invalid / out of grid / dropped by pair overflow), the needed pair cap
+    (compare to the static pair_cap: > means pairs were dropped and the
+    host should rebuild with cap = the returned value), and the raw step
+    count the launch required (compare to queue_cap when one was given).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -245,7 +261,9 @@ def sample_grid(
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
+        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    )
     need = jnp.maximum(need, qneed)
 
     # Pixel coords, pixels-on-LANES layout (nT, 2, npx): one-hot rows live on
@@ -340,7 +358,7 @@ def sample_grid(
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
-    return out, need
+    return out, need, qtotal
 
 
 def sample_grid_pcf5(
@@ -354,7 +372,8 @@ def sample_grid_pcf5(
     *,
     pair_cap: int = 32,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    queue_cap: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PCF5-with-bilinear-GE resolved INSIDE the gather kernel.
 
     Semantically identical to sample_grid(img, ..., PCF 12-tap offsets)
@@ -366,7 +385,8 @@ def sample_grid_pcf5(
     12-plane compare pass over the stacked entries image).
 
     Returns (pcf (H, W) f32 — 0 where the pixel was invalid / uncovered,
-    callers substitute 1.0 there — and the needed pair cap)."""
+    callers substitute 1.0 there — the needed pair cap, and the raw step
+    count the launch required)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -393,7 +413,9 @@ def sample_grid_pcf5(
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
+        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    )
     need = jnp.maximum(need, qneed)
 
     def tile_flat(a):
@@ -504,7 +526,7 @@ def sample_grid_pcf5(
 
     out = out[:, 0].reshape(n_rows, n_cols, STILE_H, STILE_W)
     out = out.transpose(0, 2, 1, 3).reshape(H, W)
-    return out, need
+    return out, need, qtotal
 
 
 def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
@@ -554,12 +576,14 @@ def sample_grid_bilinear(
     dot_dtype=jnp.float32,
     interpret: bool = False,
     tiles: jnp.ndarray = None,     # optional pre-built build_bilinear_tiles(planes)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    queue_cap: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Weighted 2x2 bilinear gather on the MXU, all C channels at once.
 
     Returns (C, H, W) with wt * bilerp(planes[c], by+fy, bx+fx) per pixel
     (0 where invalid / out of grid / dropped by pair overflow), plus the
-    needed pair cap (> pair_cap means pairs were dropped).
+    needed pair cap (> pair_cap means pairs were dropped), plus the raw
+    step count the launch required (adaptive queue_cap sizing).
 
     The trick over sample_grid: the lerp weights ride IN the one-hot
     vectors — ohy has two nonzeros (1-fy @ rel_y, fy @ rel_y+1) so one
@@ -594,7 +618,9 @@ def sample_grid_bilinear(
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
     pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
     bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed = _pair_step_tables(counts, pids, bits, nT, cap)
+    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
+        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    )
     need = jnp.maximum(need, qneed)
 
     def tile_flat(a):
@@ -698,4 +724,4 @@ def sample_grid_bilinear(
 
     out = out[:, :C].reshape(n_rows, n_cols, C, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(C, H, W)
-    return out, need
+    return out, need, qtotal

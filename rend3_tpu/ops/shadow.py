@@ -599,7 +599,10 @@ def sample_shadow_map(
 
     bx = jnp.floor(sx - 0.5).astype(jnp.int32)
     by = jnp.floor(sy - 0.5).astype(jnp.int32)
-    return mg.sample_grid(smap, bx, by, hit, PCF_OFFSETS, pair_cap=pair_cap, interpret=interpret)
+    out, need, _q = mg.sample_grid(
+        smap, bx, by, hit, PCF_OFFSETS, pair_cap=pair_cap, interpret=interpret
+    )
+    return out, need
 
 
 def sample_shadow_maps(
@@ -651,7 +654,7 @@ def sample_shadow_maps(
         valids.append(ok)
 
     H = entries[0][1].shape[0]
-    occ_all, overflow = mg.sample_grid(
+    occ_all, overflow, _q = mg.sample_grid(
         stacked,
         jnp.concatenate(bxs, axis=0),
         jnp.concatenate(bys, axis=0),
@@ -669,6 +672,7 @@ def resolve_shadow_pcf5(
     *,
     pair_cap: int = 32,
     interpret: bool = False,
+    queue_cap: int = None,
 ):
     """All PCF5 shadow resolves of a frame in ONE fused MXU launch.
 
@@ -679,11 +683,11 @@ def resolve_shadow_pcf5(
     + pcf5_from_occlusion with the invalid -> 1.0 substitution applied
     (the reference's single fused resolve, opaque.wgsl:471-520).
 
-    Returns (list of (H, W) pcf factors per entry, overflow)."""
+    Returns (list of (H, W) pcf factors per entry, overflow, qtotal)."""
     from . import mxu_gather as mg
 
     if not entries:
-        return [], jnp.int32(0)
+        return [], jnp.int32(0), jnp.int32(0)
 
     maxw = max(int(m.shape[1]) for m in smaps)
     bases = []
@@ -714,14 +718,14 @@ def resolve_shadow_pcf5(
     H = entries[0][1].shape[0]
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     oks = cat(valids)
-    pcf_all, overflow = mg.sample_grid_pcf5(
+    pcf_all, overflow, qtotal = mg.sample_grid_pcf5(
         stacked, cat(bxs), cat(bys), cat(fxs), cat(fys), cat(refs), oks,
-        pair_cap=pair_cap, interpret=interpret,
+        pair_cap=pair_cap, interpret=interpret, queue_cap=queue_cap,
     )
     # Uncovered pixels (invalid base / dropped pair) read 0 from the kernel;
     # the sample_shadow_maps path yields 1.0 (lit) there — substitute.
     pcf_all = jnp.where(oks, pcf_all, 1.0)
-    return [pcf_all[k * H : (k + 1) * H] for k in range(len(entries))], overflow
+    return [pcf_all[k * H : (k + 1) * H] for k in range(len(entries))], overflow, qtotal
 
 
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

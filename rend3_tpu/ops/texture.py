@@ -335,6 +335,7 @@ def sample_textures_grid(
     interpret: bool = False,
     hit: jnp.ndarray = None,  # optional (N,) bool: only sample hit pixels
     dot_dtype=None,           # MXU dtype override (default TEX_DOT_DTYPE)
+    queue_cap: int = None,    # adaptive sampler step-queue size
 ):
     """Deferred-path textureSampleGrad for (H, W)-organized pixels through
     the MXU bilinear gather (mxu_gather.sample_grid_bilinear).
@@ -342,9 +343,10 @@ def sample_textures_grid(
     All active slots' trilinear queries (2 mip levels each) are stacked
     row-wise into ONE sampler call; the mip lerp weights ride in the
     per-query weight plane so the two returned mip samples just add.
-    Returns (samples, overflow): samples is a list of NSLOT entries,
-    (N, 4) for active slots and None for inactive ones (callers treat
-    None as "slot never present this frame").
+    Returns (samples, overflow, qtotal): samples is a list of NSLOT
+    entries, (N, 4) for active slots and None for inactive ones (callers
+    treat None as "slot never present this frame"); qtotal is the raw
+    sampler step count (adaptive queue_cap sizing).
     """
     from .shade import MF  # local import to avoid cycle
     from . import mxu_gather as mg
@@ -425,15 +427,15 @@ def sample_textures_grid(
             q_valid.append(vq.reshape(H, W))
 
     if not q_bx:
-        return [None] * NSLOT, jnp.int32(0)
+        return [None] * NSLOT, jnp.int32(0), jnp.int32(0)
 
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     planes = jnp.moveaxis(tex.atlas, -1, 0)  # (4, AH, AW)
-    out, overflow = mg.sample_grid_bilinear(
+    out, overflow, qtotal = mg.sample_grid_bilinear(
         planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy), cat(q_wt), cat(q_valid),
         pair_cap=pair_cap, interpret=interpret,
         dot_dtype=TEX_DOT_DTYPE if dot_dtype is None else dot_dtype,
-        tiles=tex.tiles,
+        tiles=tex.tiles, queue_cap=queue_cap,
     )
     out = out.reshape(4, len(q_bx), H, W)
 
@@ -441,4 +443,4 @@ def sample_textures_grid(
     for i, q in enumerate(active_slots):
         res = (out[:, 2 * i] + out[:, 2 * i + 1]).reshape(4, N).T   # (N, 4)
         samples[q] = jnp.where((mtex[:, q] > 0)[:, None], res, 1.0)
-    return samples, overflow
+    return samples, overflow, qtotal

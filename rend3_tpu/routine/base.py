@@ -41,6 +41,12 @@ _DEBUG_STOP_AFTER = None
 
 # Raster classes with adaptive flat-list capacities (aux slots 10..14).
 FLAT_CLASSES = ("main", "resid", "cut", "blend", "shadow")
+# Adaptive MXU-gather step-queue classes (aux slots 15..18): the sampler
+# work queues, like the raster flat lists, must be sized to the frame's REAL
+# (screen tile, source cell) pair count — the static formula queue is
+# ~60-80% padding steps and each no-op Mosaic step costs ~1 us (the round-3
+# bench spent ~45 ms walking a 43k-step texture queue with ~10k real steps).
+QUEUE_CLASSES = ("q_tex", "q_cut", "q_blend", "q_pcf")
 
 
 def default_raster_backend() -> str:
@@ -316,6 +322,24 @@ class BaseRenderGraph:
             elif want * 2 <= cur:
                 self._caps[cap_key] = want
                 self._program_cache.clear()
+        # Sampler step-queue capacities, aux slots 15..18: same adopt /
+        # one-shot grow / one-shot shrink policy as the flat lists above.
+        for j, cls in enumerate(QUEUE_CLASSES):
+            need = at(15 + j)
+            if need <= 0:
+                continue
+            cap_key = cls
+            cur = self._caps.get(cap_key)
+            want = _pad_pow2(max(need * 9 // 8, 1024), minimum=1024)
+            if cur is None:
+                self._caps[cap_key] = want
+                self._program_cache.clear()
+            elif need > cur:
+                self._caps[cap_key] = want
+                grew = True
+            elif want * 2 <= cur:
+                self._caps[cap_key] = want
+                self._program_cache.clear()
         if at(7) > 0 and self._caps.get("blend_peels", 2) < 16:
             self._caps["blend_peels"] = self._caps.get("blend_peels", 2) * 2
             grew = True
@@ -583,6 +607,7 @@ class BaseRenderGraph:
         # 10-14, one-shot grow AND shrink) is a first-order perf lever.
         # None = the conservative formula (first frame).
         fl_caps = tuple(self._caps.get(f"fl_{c}") for c in FLAT_CLASSES)
+        q_caps = tuple(self._caps.get(c) for c in QUEUE_CLASSES)
         key = (
             target.width,
             target.height,
@@ -607,6 +632,7 @@ class BaseRenderGraph:
             blend_tex_slots,
             tuple((n, b, c) for (n, b, c, _d, _f) in extras_host),
             fl_caps,
+            q_caps,
         )
         self._last_key = key  # parallel/tiles.py builds the band variant from it
         program = self._program_cache.get(key)
@@ -668,9 +694,10 @@ class BaseRenderGraph:
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
          active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
-         shadow_pair_cap, blend_tex_slots, extras_sig, fl_caps) = key
+         shadow_pair_cap, blend_tex_slots, extras_sig, fl_caps, q_caps) = key
         extra_routines = [self.routines[n] for (n, _b, _c) in extras_sig]
         fl_main, fl_resid, fl_cut, fl_blend, fl_shadow = fl_caps
+        q_tex, q_cut, q_blend, q_pcf = q_caps
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -738,6 +765,12 @@ class BaseRenderGraph:
             shadow_bin_overflows = []
             pair_overflows = []      # needed pair caps (max aggregated)
             tex_pair_overflows = []  # needed tex pair caps (max aggregated)
+            queue_needs = {}         # class -> needed sampler step-queue rows (max)
+
+            def _queue_need(cls, need):
+                queue_needs[cls] = (
+                    jnp.maximum(queue_needs[cls], need) if cls in queue_needs else need
+                )
             bin_needs = []           # needed tile mults, main-target rasters
             shadow_bin_needs = []    # needed tile mults, shadow rasters
             flat_needs = {}          # class -> needed flat-list rows (max)
@@ -956,12 +989,14 @@ class BaseRenderGraph:
                         bound_img = None
                         for _peel in range(cutout_peels):
                             gbuf_c = resolve_at(pk_c, si, bound=bound_img)
-                            pass_img, tex_ovf = light_ops.cutout_alpha_pass(
+                            pass_img, tex_ovf, tex_q = light_ops.cutout_alpha_pass(
                                 gbuf_c, materials, textures if has_tex else None,
                                 active_tex_slots, (hp, wp),
                                 tex_pair_cap=tex_pair_cap, interpret=interp,
+                                tex_queue_cap=q_cut,
                             )
                             tex_pair_overflows.append(tex_ovf)
+                            _queue_need("q_cut", tex_q)
                             chit = gbuf_c.data[def_ops.G_HIT] > 0.0
                             cdepth = gbuf_c.data[def_ops.G_DEPTH]
                             nearer = ~ohit | (cdepth > odepth)
@@ -1101,10 +1136,12 @@ class BaseRenderGraph:
                         for per in coords
                         for (k, sx, sy, ref, ib, hitp) in per
                     ]
-                    pcfs, sovf = shadow_ops.resolve_shadow_pcf5(
+                    pcfs, sovf, pcf_q = shadow_ops.resolve_shadow_pcf5(
                         smaps, entries, pair_cap=shadow_pair_cap, interpret=interp,
+                        queue_cap=q_pcf,
                     )
                     pair_overflows.append(sovf)
+                    _queue_need("q_pcf", pcf_q)
                     L = dir_lights.mask.shape[0]
                     outs = []
                     i = 0
@@ -1231,15 +1268,17 @@ class BaseRenderGraph:
                         sv_p = jnp.pad(
                             sv_si, ((0, 0), (0, hp - sv_si.shape[1]), (0, wp - sv_si.shape[2]))
                         )
-                        img_s, tex_ovf = light_ops.light_gbuffer(
+                        img_s, tex_ovf, tex_q = light_ops.light_gbuffer(
                             gbuf_full, materials, dir_lights, point_lights,
                             shadow_atlas, uniforms, bg_p, textures=textures,
                             shadow_values=sv_p,
                             active_tex_slots=active_tex_slots,
                             tex_pair_cap=tex_pair_cap, interpret=interp,
                             debug_stop_tex=_DEBUG_STOP_AFTER == "texsample",
+                            tex_queue_cap=q_tex,
                         )
                         tex_pair_overflows.append(tex_ovf)
+                        _queue_need("q_tex", tex_q)
                         if _DEBUG_STOP_AFTER == "texsample":
                             return img_s
                         img_s = img_s[:bh, :width]
@@ -1281,14 +1320,16 @@ class BaseRenderGraph:
                             blend_gbufs[si], blend_bhits[si], blend_svs[si]
                         ):
                             if has_tex and blend_tex_slots:
-                                rgba_b, tovf = light_ops.light_gbuffer(
+                                rgba_b, tovf, bq = light_ops.light_gbuffer(
                                     gbuf_b, materials, dir_lights, point_lights,
                                     shadow_atlas, uniforms, bg0, textures=textures,
                                     shadow_values=sv_b,
                                     active_tex_slots=blend_tex_slots,
                                     tex_pair_cap=tex_pair_cap, interpret=interp,
+                                    tex_queue_cap=q_blend,
                                 )
                                 tex_pair_overflows.append(tovf)
+                                _queue_need("q_blend", bq)
                             else:
                                 # blend_tex_slots empty == no blend material
                                 # samples any texture; passing the atlas
@@ -1384,6 +1425,10 @@ class BaseRenderGraph:
                 + [
                     jnp.asarray(flat_needs.get(c, jnp.int32(0)), jnp.int32)
                     for c in FLAT_CLASSES
+                ]
+                + [
+                    jnp.asarray(queue_needs.get(c, jnp.int32(0)), jnp.int32)
+                    for c in QUEUE_CLASSES
                 ]
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)

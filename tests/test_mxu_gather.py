@@ -43,7 +43,7 @@ def test_sample_grid_matches_direct(offsets):
     by = rng.integers(-10, Hs + 10, size=(H, W)).astype(np.int32)
     valid = rng.random((H, W)) > 0.2
 
-    got, overflow = mg.sample_grid(
+    got, overflow, _q = mg.sample_grid(
         jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
         offsets, interpret=True,
     )
@@ -61,7 +61,7 @@ def test_sample_grid_multi_tile_screen():
     by = rng.integers(0, Hs, size=(H, W)).astype(np.int32)
     valid = np.ones((H, W), bool)
     offsets = ((0, 0), (1, 1))
-    got, overflow = mg.sample_grid(
+    got, overflow, _q = mg.sample_grid(
         jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
         offsets, interpret=True,
     )
@@ -82,7 +82,7 @@ def test_sample_grid_bilinear_matches_reference():
     wt = rng.random((H, W)).astype(np.float32)
     valid = rng.random((H, W)) > 0.2
 
-    got, overflow = mg.sample_grid_bilinear(
+    got, overflow, _q = mg.sample_grid_bilinear(
         jnp.asarray(planes), jnp.asarray(bx), jnp.asarray(by),
         jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(wt), jnp.asarray(valid),
         pair_cap=16, interpret=True,
@@ -140,8 +140,8 @@ def test_sample_textures_grid_matches_scalar_sampler():
         f = jax.jit(functools.partial(
             tex_ops.sample_textures_grid, hw=(H, W), active_slots=(0, 1),
             pair_cap=64, interpret=True, dot_dtype=dt))
-        samples, ovf = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
-                         jnp.asarray(duv), jnp.asarray(mflags))
+        samples, ovf, _q = f(tex, jnp.asarray(mtex), jnp.asarray(coords),
+                             jnp.asarray(duv), jnp.asarray(mflags))
         assert int(ovf) <= 64  # needed pair cap within pair_cap=64
         assert samples[2] is None  # inactive slot
         for q in (0, 1):

@@ -57,7 +57,7 @@ def main():
             (entries[i][0], flat[3 * i], flat[3 * i + 1], flat[3 * i + 2], entries[i][4])
             for i in range(n_entries)
         ]
-        outs, ovf = sh.resolve_shadow_pcf5(smaps, es, pair_cap=32)
+        outs, ovf, _q = sh.resolve_shadow_pcf5(smaps, es, pair_cap=32)
         return outs
 
     flat = []

@@ -59,7 +59,7 @@ def main():
 
     @jax.jit
     def full(mtex, coords, duv, mflags, hit):
-        samples, ovf = tex_ops.sample_textures_grid(
+        samples, ovf, _q = tex_ops.sample_textures_grid(
             tex, mtex, coords, duv, mflags, (hp, wp), (0, 9),
             pair_cap=128, hit=hit,
         )
@@ -116,7 +116,7 @@ def main():
             planes, bx, by, fx, fy, wt, valid, pair_cap=128,
         )
 
-    out, need = jax.block_until_ready(bilinear(bx_d, by_d, fx_d, fy_d, wt_d, valid_d))
+    out, need, _q = jax.block_until_ready(bilinear(bx_d, by_d, fx_d, fy_d, wt_d, valid_d))
     print("1-entry pair need:", int(need), flush=True)
     time_op(bilinear, bx_d, by_d, fx_d, fy_d, wt_d, valid_d, iters=8, name="sample_grid_bilinear(1 entry)")
 
