@@ -33,6 +33,8 @@ class MaterialArchetype:
     free: List[int] = field(default_factory=list)
     next_slot: int = 0
     dirty: bool = True
+    # Monotonic content version (device caches key on it).
+    version: int = 0
     device: Optional[tuple] = None
     # Keep the texture handles alive while the material does.
     texture_refs: Dict[int, list] = field(default_factory=dict)
@@ -104,11 +106,13 @@ class MaterialManager:
         arch.keys[slot] = material.key()
         arch.sortings[slot] = material.sorting()
         arch.dirty = True
+        arch.version += 1
 
     def remove(self, handle_idx: int) -> None:
         name, slot = self.slot_of_handle.pop(handle_idx)
         arch = self.archetypes[name]
         arch.free.append(slot)
+        arch.version += 1
         arch.keys.pop(slot, None)
         arch.sortings.pop(slot, None)
         arch.texture_refs.pop(slot, None)

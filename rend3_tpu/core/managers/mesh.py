@@ -85,6 +85,10 @@ class MeshManager:
         # scatters): per-arena dirty ranges; a resize forces a full upload.
         self._dirty_ranges: dict = {}
         self._resized = True
+        # Monotonic content version: bumped on any arena/index mutation.
+        # Shadow-map caching (routine/base.py) keys device shadow maps on it
+        # so static geometry re-rasterizes nothing across frames.
+        self.version = 0
 
     # -- allocation -----------------------------------------------------------
 
@@ -115,6 +119,7 @@ class MeshManager:
     def _mark_dirty(self, name: str, start: int, count: int) -> None:
         self._dirty_ranges.setdefault(name, []).append((start, start + count))
         self._dirty = True
+        self.version += 1
 
     def _alloc_indices(self, count: int) -> int:
         start = self._index_alloc.allocate(count)
@@ -186,8 +191,10 @@ class MeshManager:
 
         self.data[handle_idx] = internal
         self._dirty = True
+        self.version += 1
 
     def remove(self, handle_idx: int) -> None:
+        self.version += 1
         internal = self.data.pop(handle_idx)
         for name, (start, count) in internal.attr_ranges.items():
             self._allocs[name].free(start, count)

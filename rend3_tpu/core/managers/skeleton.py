@@ -40,6 +40,9 @@ class SkeletonManager:
     def __init__(self):
         self.data: Dict[int, InternalSkeleton] = {}
         self.global_joint_count = 0
+        # Monotonic version: bumped on any joint/skeleton mutation so the
+        # shadow-map cache (routine/base.py) invalidates on skinning changes.
+        self.version = 0
 
     def add(self, idx: int, skeleton: Skeleton, mesh_mgr) -> None:
         mesh_idx = skeleton.mesh.idx
@@ -69,13 +72,16 @@ class SkeletonManager:
             rec.source_ranges[name] = src
         self.data[idx] = rec
         self.global_joint_count += len(skeleton.joint_matrices)
+        self.version += 1
 
     def set_joint_matrices(self, idx: int, joint_matrices: np.ndarray) -> None:
+        self.version += 1
         rec = self.data[idx]
         rec.joint_matrices = np.asarray(joint_matrices, dtype=np.float32).reshape(-1, 4, 4)
         rec.dirty = True
 
     def remove(self, idx: int, mesh_mgr) -> None:
+        self.version += 1
         rec = self.data.pop(idx)
         for name, (start, count) in rec.override_ranges.items():
             mesh_mgr.free_range(name, start, count)

@@ -36,6 +36,9 @@ img{image-rendering:pixelated;outline:none}
 const v=document.getElementById('v');let grabbed=false,px=0,py=0;
 function send(q){fetch('/input?'+q)}
 v.onclick=()=>{grabbed=true;v.focus()};
+let rt=null;window.addEventListener('resize',()=>{clearTimeout(rt);rt=setTimeout(()=>{
+ const w=Math.max(128,Math.floor(window.innerWidth*0.95)),h=Math.max(128,Math.floor(window.innerHeight*0.9));
+ v.width=w;v.height=h;send('w='+w+'&h='+h)},300)});
 document.addEventListener('keydown',e=>{if(e.key==='Escape'){grabbed=false;return}
  if(grabbed){send('key='+encodeURIComponent(e.key.toLowerCase())+'&down=1');e.preventDefault()}});
 document.addEventListener('keyup',e=>{if(grabbed)send('key='+encodeURIComponent(e.key.toLowerCase())+'&down=0')});
@@ -82,6 +85,7 @@ def serve_app(app, width: int, height: int, port: int = 8080) -> None:
     frame_ready = threading.Condition()
     controls = getattr(app, "controls", None)
     input_lock = threading.Lock()
+    pending = {"resize": None}  # picked up by the render loop
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -99,12 +103,26 @@ def serve_app(app, width: int, height: int, port: int = 8080) -> None:
                 self._send(200, "image/png", body)
             elif url.path == "/input":
                 q = urllib.parse.parse_qs(url.query)
-                if controls is not None:
-                    with input_lock:
-                        if "key" in q:
-                            controls.key(q["key"][0], q.get("down", ["1"])[0] == "1")
-                        if "dx" in q or "dy" in q:
-                            controls.mouse(float(q.get("dx", [0])[0]), float(q.get("dy", [0])[0]))
+                with input_lock:
+                    if "w" in q and "h" in q:
+                        # Surface resize (reference: rend3-framework
+                        # lib.rs:393-433 reconfigures the surface and calls
+                        # set_aspect_ratio).
+                        pending["resize"] = (int(q["w"][0]), int(q["h"][0]))
+                    if "key" in q:
+                        key = q["key"][0]
+                        down = q.get("down", ["1"])[0] == "1"
+                        if key == "p" and down:
+                            # Chrome-trace dump on 'P' (reference:
+                            # scene_viewer/mod.rs:630-639).
+                            from ..utils.profiling import dump_chrome_trace
+
+                            dump_chrome_trace("trace.json")
+                            print("viewer: wrote trace.json")
+                        elif controls is not None:
+                            controls.key(key, down)
+                    if controls is not None and ("dx" in q or "dy" in q):
+                        controls.mouse(float(q.get("dx", [0])[0]), float(q.get("dy", [0])[0]))
                 self._send(200, "text/plain", b"ok")
             else:
                 self._send(404, "text/plain", b"not found")
@@ -130,9 +148,18 @@ def serve_app(app, width: int, height: int, port: int = 8080) -> None:
         while True:
             now = time.perf_counter()
             dt, last = now - last, now
-            if controls is not None:
-                with input_lock:
+            with input_lock:
+                resize = pending["resize"]
+                pending["resize"] = None
+                if controls is not None:
                     controls.update(dt)
+            if resize is not None and resize != (width, height):
+                # Reconfigure the target + aspect ratio (reference:
+                # handle_surface + set_aspect_ratio, lib.rs:393-433).
+                width, height = resize
+                renderer.set_aspect_ratio(width / height)
+                target = FrameRenderTarget(width, height, app.sample_count())
+                print(f"viewer: resized to {width}x{height}")
             ctx = RedrawContext(
                 renderer=renderer,
                 base_graph=base_graph,

@@ -185,11 +185,15 @@ def cutout_alpha_pass(
     tex_pair_cap: int = 16,
     interpret: bool = False,
     tex_queue_cap: int = None,
+    extras=(),                      # [(base, count, routine, data_d, flags_d)]
 ):
     """Per-pixel cutout alpha test over a (padded) G-buffer: True where the
     pixel's fragment survives (alpha >= cutoff, or the material has no
     cutoff). The deferred-path equivalent of the reference's per-fragment
     discard (depth.wgsl:105-124); used by the cutout depth-peel loop.
+    `extras` lists registered cutout-mode material routines whose pixels are
+    alpha-tested via the routine's own alpha callback (the reference builds
+    cutout pipelines per archetype, forward.rs:62-83).
     Returns ((H, W) bool, tex pair overflow, sampler step total)."""
     from .shade import PBR_ALPHA_CUTOUT, PBR_UVT0, TEX_ALBEDO, albedo_alpha
 
@@ -205,7 +209,8 @@ def cutout_alpha_pass(
 
     uv0 = ch(D.G_UV0, 2)
     vcol = ch(D.G_COL, 4)
-    midx = jnp.clip(jnp.round(g[D.G_MAT]).astype(jnp.int32), 0, materials.data.shape[0] - 1)
+    midx_raw = jnp.round(g[D.G_MAT]).astype(jnp.int32)
+    midx = jnp.clip(midx_raw, 0, materials.data.shape[0] - 1)
     mdata = _onehot_lookup(midx, materials.data)
     mflags = jnp.round(
         _onehot_lookup(midx, materials.flags[:, None].astype(jnp.float32))[:, 0]
@@ -236,4 +241,20 @@ def cutout_alpha_pass(
 
     alpha = albedo_alpha(mdata, mflags, vcol, tex_a)
     ok = (cutoff <= 0.0) | (alpha >= cutoff)
+    if extras:
+        from ..routine.registry import GBufferPixels
+
+        pixels = GBufferPixels(
+            view_pos=ch(D.G_VP, 3), nrm=ch(D.G_NRM, 3), tan=ch(D.G_TAN, 3),
+            uv0=uv0, uv1=ch(D.G_UV1, 2), vcol=vcol, hit=g[D.G_HIT] > 0.0,
+        )
+        for base, count, routine, data_d, flags_d in extras:
+            sel = (midx_raw >= base) & (midx_raw < base + count)
+            ml = jnp.clip(midx_raw - base, 0, count - 1)
+            e_data = _onehot_lookup(ml, data_d)
+            e_flags = jnp.round(
+                _onehot_lookup(ml, flags_d[:, None].astype(jnp.float32))[:, 0]
+            ).astype(jnp.int32)
+            e_alpha = routine.alpha(pixels, e_data, e_flags)
+            ok = jnp.where(sel, e_alpha >= routine.alpha_cutoff, ok)
     return ok.reshape(H, W), overflow, qtotal

@@ -49,10 +49,18 @@ def build_tiled_frame_callable(
 
     The args tuple is EXACTLY the single-chip `build_frame_callable` args
     (all replicated); the output image is row-sharded over the mesh. The
-    full pass list survives sharding: cull -> binned raster -> G-buffer ->
-    cutout peels -> per-light shadow maps (row-sharded + all_gather) -> PCF
-    resolve -> textured lighting -> blend peels -> tonemap
+    FULL pass list survives sharding — two-phase occlusion culling (phase-1
+    band depths all-gathered into the full-target Hi-Z pyramid on every
+    chip, so visibility verdicts match the single-chip program exactly),
+    MSAA 1 & 4, cull -> binned raster -> G-buffer -> cutout peels ->
+    per-light shadow maps (row-sharded + all_gather) -> PCF resolve ->
+    textured lighting -> blend peels -> tonemap
     (ref rend3-routine/src/base.rs:129-185).
+
+    Returns (program, args); program(*args) -> (image, predicted_mask, aux)
+    like the single-chip program — feed predicted_mask back into
+    `graph._prev_visible_mask` to carry two-phase culling across frames
+    (the mask is replicated: every chip computes identical verdicts).
     """
     from ..routine.base import BaseRenderGraphSettings
 
@@ -72,18 +80,19 @@ def build_tiled_frame_callable(
         frame_band = graph._build_program(key, band=(band_h, TILE_AXIS, n))
 
         def chip_frame(*a):
-            out, _mask, aux = frame_band(*a)
+            out, mask, aux = frame_band(*a)
             # Every aux slot is a needed-capacity maximum (survivor counts,
             # per-tile needs, tile multipliers); each chip has its own
             # arrays of the same capacity, so the global need is the MAX
-            # over chips, not the sum.
-            return out, jax.lax.pmax(aux, TILE_AXIS)
+            # over chips, not the sum. The predicted mask is computed from
+            # the all-gathered full-target Hi-Z, identical on every chip.
+            return out, mask, jax.lax.pmax(aux, TILE_AXIS)
 
         sm = jax.shard_map(
             chip_frame,
             mesh=mesh,
-            in_specs=P(),                      # scene state fully replicated
-            out_specs=(P(TILE_AXIS), P()),     # image row-sharded; aux replicated
+            in_specs=P(),                   # scene state fully replicated
+            out_specs=(P(TILE_AXIS), P(), P()),  # image row-sharded; mask/aux replicated
             check_vma=False,
         )
         tiled = jax.jit(sm)

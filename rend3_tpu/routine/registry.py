@@ -52,10 +52,29 @@ class MaterialRoutine:
 
     mdata/mflags are the archetype's own table rows (material.to_data() /
     to_flags()) gathered per pixel.
+
+    transparency selects the draw pipeline, like the reference's
+    ForwardRoutine depth/cutout/blend variants built for EVERY archetype
+    (rend3-routine/src/forward.rs:62-83):
+      * "opaque"  — deferred opaque path (default);
+      * "cutout"  — objects render through the cutout depth-peel loop; the
+        per-pixel alpha test calls `alpha(pixels, mdata, mflags) -> (N,)`
+        against `alpha_cutoff` (the depth.wgsl discard equivalent);
+      * "blend"   — the material class's sorting() must be REQUIREMENT so
+        its objects enter the ordered blend peels; each peel's pixels are
+        shaded by this routine's `shade` (alpha = rgba[..., 3]).
     """
 
     material_cls: type
     shade: Callable
+    transparency: str = "opaque"
+    alpha: Callable = None
+    alpha_cutoff: float = 0.5
+
+    def __post_init__(self):
+        assert self.transparency in ("opaque", "cutout", "blend"), self.transparency
+        if self.transparency == "cutout":
+            assert self.alpha is not None, "cutout routines need an alpha callback"
 
     @property
     def archetype(self) -> str:

@@ -46,14 +46,19 @@ class FrameRenderSettings:
 
 @dataclass
 class Threshold:
-    """Pass criteria against a golden. `mae`/`ssim` bounds must both hold;
-    `flip` (optional) additionally bounds the mean FLIP perceptual error —
-    the metric the reference harness thresholds on
-    (rend3-test/src/runner.rs:244-258, utils/flip.py)."""
+    """Pass criteria against a golden. Every set bound must hold; at least
+    one bound must be set — "no checks means it always fails", the
+    reference's rule (rend3-test/src/threshold.rs:8-14). `mae`/`ssim` are
+    this harness's native bounds; `flip` bounds the mean FLIP perceptual
+    error and `flip_percentiles` is the reference's `Threshold::Percentile`
+    (threshold.rs:22-46): ((percentile, bound), ...) pairs over the
+    per-pixel FLIP error map, e.g. ((50.0, 0.04),) = FLIP P50 <= 0.04 (the
+    shadow-test gate, rend3-test/tests/shadow.rs:33)."""
 
     mae: float = 0.01
     ssim: float = 0.98
     flip: float = None
+    flip_percentiles: tuple = ()
 
 
 def load_png(path: str) -> np.ndarray:
@@ -85,13 +90,28 @@ def compare_to_golden(test_img: np.ndarray, golden_path: str, threshold: Thresho
     name = os.path.splitext(os.path.basename(golden_path))[0]
     os.makedirs(out_dir, exist_ok=True)
     save_png(os.path.join(out_dir, f"{name}-render.png"), test_img)
-    ok = stats["mae"] <= threshold.mae and stats["ssim"] >= threshold.ssim
-    if threshold.flip is not None:
-        from .utils.flip import flip_mean
+    checks = []  # "no checks = fail" (ref threshold.rs:8-14)
+    if threshold.mae is not None:
+        checks.append(stats["mae"] <= threshold.mae)
+    if threshold.ssim is not None:
+        checks.append(stats["ssim"] >= threshold.ssim)
+    if threshold.flip is not None or threshold.flip_percentiles:
+        from .utils.flip import flip
 
-        stats["flip"] = flip_mean(golden, test_img[..., :3])
-        ok = ok and stats["flip"] <= threshold.flip
-    assert ok, f"golden mismatch vs {golden_path}: {stats} (threshold mae<={threshold.mae} ssim>={threshold.ssim} flip<={threshold.flip})"
+        err = flip(golden, test_img[..., :3])
+        stats["flip"] = float(err.mean())
+        if threshold.flip is not None:
+            checks.append(stats["flip"] <= threshold.flip)
+        for pct, bound in threshold.flip_percentiles:
+            v = float(np.percentile(err, pct))
+            stats[f"flip_p{pct:g}"] = v
+            checks.append(v <= bound)
+    ok = bool(checks) and all(checks)
+    assert ok, (
+        f"golden mismatch vs {golden_path}: {stats} (threshold {threshold})"
+        if checks
+        else f"threshold has no checks (always fails, ref threshold.rs:8-14): {threshold}"
+    )
     return stats
 
 

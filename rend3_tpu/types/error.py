@@ -13,6 +13,7 @@ __all__ = [
     "RendererInitializationError",
     "DeviceLimitError",
     "DeviceOutOfMemoryError",
+    "RenderCapacityError",
     "MeshValidationError",
     "AssetError",
 ]
@@ -42,6 +43,25 @@ class DeviceLimitError(RendererError):
 
 class DeviceOutOfMemoryError(RendererError):
     """HBM allocation failure surfaced from XLA with renderer context."""
+
+
+class RenderCapacityError(RendererError):
+    """A per-frame adaptive capacity exceeded its hard ceiling (SMEM step
+    budget, tile-list multiplier, gather pair cap). Raised instead of
+    rendering a silently-wrong frame — the reference grows its culling
+    buffers to the storage cap and never drops
+    (rend3-routine/src/culling/suballoc.rs:164-214); where growth is
+    physically bounded on TPU we fail loudly instead."""
+
+    def __init__(self, what: str, needed: int, ceiling: int):
+        self.what = what
+        self.needed = needed
+        self.ceiling = ceiling
+        super().__init__(
+            f"frame capacity ceiling exceeded for {what}: needs {needed}, "
+            f"ceiling {ceiling} — the scene cannot render exactly at this "
+            f"configuration (reduce geometry density or raise the ceiling)"
+        )
 
 
 class AssetError(RendererError):

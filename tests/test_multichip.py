@@ -29,7 +29,7 @@ def _render_pair(runner, width, height, n_devices, settings=None, skybox_slot=No
         runner.base_graph, eval_output, target, settings, skybox_slot,
         mesh=device_mesh(n_devices),
     )
-    img_t, aux = tiled(*args)
+    img_t, _mask, aux = tiled(*args)
 
     single, sargs = runner.base_graph.build_frame_callable(
         eval_output, target, settings, skybox_slot

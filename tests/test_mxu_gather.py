@@ -70,6 +70,43 @@ def test_sample_grid_multi_tile_screen():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_sample_grid_queue_cap_adoption_and_truncation():
+    """Adaptive queue_cap contract: qtotal reports the raw steps the launch
+    required; re-running with queue_cap >= qtotal matches the uncapped
+    gather exactly (incl. the total == S exact-fit boundary), and a
+    deliberately small queue_cap is detectable via qtotal > cap."""
+    rng = np.random.default_rng(11)
+    H, W = 64, 256  # 4 screen tiles
+    Hs, Ws = 256, 256  # 4x4 source cells -> several pairs per tile
+    img = rng.standard_normal((Hs, Ws)).astype(np.float32)
+    bx = rng.integers(0, Ws, size=(H, W)).astype(np.int32)
+    by = rng.integers(0, Hs, size=(H, W)).astype(np.int32)
+    valid = np.ones((H, W), bool)
+    offsets = ((0, 0),)
+
+    full, _need, qtotal = mg.sample_grid(
+        jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
+        offsets, interpret=True,
+    )
+    total = int(qtotal)
+    assert total > 8
+
+    # Truncation is detectable: a too-small cap reports qtotal > cap.
+    _trunc, _n, q2 = mg.sample_grid(
+        jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
+        offsets, interpret=True, queue_cap=8,
+    )
+    assert int(q2) == total and total > 8
+
+    # Exact fit (queue_cap == total) reproduces the uncapped result.
+    exact, _n, q3 = mg.sample_grid(
+        jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
+        offsets, interpret=True, queue_cap=total,
+    )
+    assert int(q3) == total
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(full))
+
+
 def test_sample_grid_bilinear_matches_reference():
     rng = np.random.default_rng(6)
     H, W = 32, 128

@@ -21,11 +21,14 @@ def test_shadows():
         )
     )
     runner.render_and_compare(
-        FrameRenderSettings(size=256), "shadow/plane.png", Threshold(mae=0.02, ssim=0.95)
+        FrameRenderSettings(size=256), "shadow/plane.png",
+        # Reference gate: FLIP P50 <= 0.04 (rend3-test/tests/shadow.rs:33).
+        Threshold(mae=0.02, ssim=0.95, flip_percentiles=((50.0, 0.04),)),
     )
 
     mat2 = runner.add_lit_material([0.75, 0.5, 0.25, 1.0])
     cube = runner.cube(mat2, m3.translation([0.25, 0.25, -0.25]) @ m3.scale(0.25))
     runner.render_and_compare(
-        FrameRenderSettings(size=256), "shadow/cube.png", Threshold(mae=0.02, ssim=0.95)
+        FrameRenderSettings(size=256), "shadow/cube.png",
+        Threshold(mae=0.02, ssim=0.95, flip_percentiles=((50.0, 0.04),)),
     )

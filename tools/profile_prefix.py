@@ -45,7 +45,9 @@ def main():
     runner.base_graph.render_frame(eval_output, target, settings)
     print("caps:", runner.base_graph._caps, "stats:", runner.base_graph.last_stats, flush=True)
 
-    stages = ("clip", "gbuf", "smaps", "blendraster", "shadow", "light", None)
+    # "smaps" is band-only now (single-chip shadow maps come from the cached
+    # shadow program and arrive as args); "shadow" times the PCF resolve.
+    stages = ("clip", "gbuf", "cutout", "blendraster", "shadow", "light", None)
     if len(sys.argv) > 4:
         stages = tuple(s if s != "None" else None for s in sys.argv[4].split(","))
 
