@@ -252,7 +252,7 @@ def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
     from .geometry import _rank_of
 
     nc = flat.n_chunks
-    per_tile = phases * nc + 1
+    per_tile = phases * nc + 1  # chunkless (empty) tiles: finalize only
     tile_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tile)[:-1].astype(jnp.int32)]
     )
@@ -262,7 +262,7 @@ def _step_tables(flat, n_tiles: int, cap_total: int, phases: int):
     tile = _rank_of(tile_start, S, n_tiles)
     local = s - tile_start[tile]
     nct = nc[tile]
-    phase = jnp.minimum(local // nct, phases)          # 0..phases-1, then final
+    phase = jnp.minimum(local // jnp.maximum(nct, 1), phases)  # 0..phases-1, then final
     chunk = local - phase * nct
     kind = jnp.where(local >= phases * nct, phases, phase)
     chunk = jnp.where(kind >= phases, 0, chunk)
@@ -381,7 +381,7 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0, sof
     npb = BAND_H * DTILE_W
     y0arr = jnp.full((1,), y0, jnp.int32)
 
-    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, out_ref, depth_ref):
+    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, nc_ref, meta_ref, bset_ref, out_ref, depth_ref):
         s = pl.program_id(0)
         i = st_ref[s]
         kind = sk_ref[s]
@@ -430,18 +430,26 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0, sof
 
         @pl.when(kind == 1)
         def _final():
-            out_ref[0] = depth_ref[...].reshape(DTILE_H, DTILE_W)
+            # Chunkless (empty) tiles have no kind-0 init step: write the
+            # cleared block directly instead of reading garbage scratch.
+            @pl.when(nc_ref[i] == 0)
+            def _empty():
+                out_ref[0] = jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
+
+            @pl.when(nc_ref[i] > 0)
+            def _occupied():
+                out_ref[0] = depth_ref[...].reshape(DTILE_H, DTILE_W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # y0, step_tile, step_kind, step_chunk, chunk_base, meta
+        num_scalar_prefetch=7,  # y0, step_tile, step_kind, step_chunk, chunk_base, n_chunks, meta
         grid=(S,),
         in_specs=[
             pl.BlockSpec(
                 (CHUNK, SETUP_W),
-                lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+                lambda s, y0r, st, sk, sc, cb, nc, mt: (cb[st[s]] + sc[s], 0),
             ),
         ],
-        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0)),
+        out_specs=pl.BlockSpec((1, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0)),
         scratch_shapes=[pltpu.VMEM((N_BANDS, npb), jnp.float32)],
     )
     tiles = pl.pallas_call(
@@ -449,7 +457,7 @@ def _depth_launch(flat, bset, st, sk, sc, S, width, height, interpret, y0=0, sof
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(y0arr, st, sk, sc, flat.chunk_base, flat.group_meta, bset)
+    )(y0arr, st, sk, sc, flat.chunk_base, flat.n_chunks, flat.group_meta, bset)
     return tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W).transpose(0, 2, 1, 3).reshape(height, width)
 
 
@@ -518,7 +526,7 @@ def raster_resolve_packed(
             .reshape(n_tiles, N_BANDS, npb)
         )
 
-    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, meta_ref, bset_ref, bpl_ref, *rest):
+    def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, nc_ref, meta_ref, bset_ref, bpl_ref, *rest):
         if bound is not None:
             bnd_ref, out_ref, depth_ref, win_ref, coef_ref = rest
         else:
@@ -610,7 +618,14 @@ def raster_resolve_packed(
                                 )                                      # (PLANES_W, npb)
                                 coef_ref[b] = coef_ref[b] + contrib
 
-        @pl.when(kind == 2)
+        @pl.when((kind == 2) & (nc_ref[i] == 0))
+        def _final_empty():
+            # Chunkless tile: the cleared G-buffer block (depth 0, no hit,
+            # zero planes) — exactly what the occupied path produces from
+            # zero-initialized scratch with no covering triangles.
+            out_ref[0] = jnp.zeros((GB_CH, DTILE_H, DTILE_W), jnp.float32)
+
+        @pl.when((kind == 2) & (nc_ref[i] > 0))
         def _final():
             for b in range(N_BANDS):
                 coef = coef_ref[b]                             # (PLANES_W, npb)
@@ -647,25 +662,25 @@ def raster_resolve_packed(
     in_specs = [
         pl.BlockSpec(
             (CHUNK, SETUP_W),
-            lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            lambda s, y0r, st, sk, sc, cb, nc, mt: (cb[st[s]] + sc[s], 0),
         ),
         pl.BlockSpec(
             (CHUNK, PLANES_W),
-            lambda s, y0r, st, sk, sc, cb, mt: (cb[st[s]] + sc[s], 0),
+            lambda s, y0r, st, sk, sc, cb, nc, mt: (cb[st[s]] + sc[s], 0),
         ),
     ]
     inputs = [bset, bplanes]
     if bound is not None:
         in_specs.append(
-            pl.BlockSpec((1, N_BANDS, npb), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0))
+            pl.BlockSpec((1, N_BANDS, npb), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0))
         )
         inputs.append(bound_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(S,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, GB_CH, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, mt: (st[s], 0, 0, 0)
+            (1, GB_CH, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((N_BANDS, npb), jnp.float32),
@@ -679,7 +694,7 @@ def raster_resolve_packed(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
         interpret=interpret,
-    )(y0arr, st, sk, sc, flat.chunk_base, flat.group_meta, *inputs)
+    )(y0arr, st, sk, sc, flat.chunk_base, flat.n_chunks, flat.group_meta, *inputs)
 
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)

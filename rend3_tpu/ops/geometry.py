@@ -403,7 +403,13 @@ def pack_chunks(
     nT, K = binned.ids.shape
     counts = jnp.minimum(binned.counts, max_chunks * chunk)
     clamp_dropped = (binned.counts - counts).sum()
-    tile_aligned = jnp.maximum(-(-counts // chunk) * chunk, chunk)
+    # Empty tiles occupy ZERO chunks (n_chunks = 0): a 1080p deferred target
+    # has 510 tiles and a 2048 shadow map 1024 — one forced chunk per tile
+    # added 32k/65k padded rows to every sparse raster class (cutout, blend,
+    # shadow), dominating its flat-list capacity and the kernel's step
+    # queue. The kernels' finalize writes a cleared block for chunkless
+    # tiles (deferred.py _step_tables / finalize).
+    tile_aligned = -(-counts // chunk) * chunk
     tile_base = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(tile_aligned)[:-1].astype(jnp.int32)]
     )
@@ -435,7 +441,7 @@ def pack_chunks(
 
     max_cb = cap_total // chunk
     cb = jnp.minimum(tile_base // chunk, max_cb - 1).astype(jnp.int32)
-    nchunks = jnp.clip(tile_aligned // chunk, 1, jnp.maximum(max_cb - cb, 1)).astype(jnp.int32)
+    nchunks = jnp.clip(tile_aligned // chunk, 0, jnp.maximum(max_cb - cb, 0)).astype(jnp.int32)
     return FlatChunks(
         ids=ids,
         chunk_base=cb,

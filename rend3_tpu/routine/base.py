@@ -353,12 +353,15 @@ class BaseRenderGraph:
                 self._caps[cap_key] = want
                 self._program_cache.clear()
         # Sampler step-queue capacities, aux slots 15..18: same adopt /
-        # one-shot grow / one-shot shrink policy as the flat lists above,
-        # with (a) a 3/2 headroom (pair counts are view-dependent and
-        # fluctuate more than the raster lists — a 12.5% margin oscillated
-        # across compile boundaries) and (b) a hard SMEM ceiling: the three
-        # step tables are scalar-prefetched at 12 B/step and walk off the
-        # ~1 MB SMEM cliff past ~85k steps (ops/mxu_gather.py sizing notes).
+        # one-shot grow policy as the flat lists above, with (a) a WIDE
+        # shrink hysteresis (want*4) so view-dependent pair-count swings
+        # don't oscillate caps across multi-minute compile boundaries —
+        # sizing stays at 9/8 because every queue step costs ~1 us whether
+        # real or padding, and a fatter headroom multiplier usually lands on
+        # the next pow2 bucket (2x+ the need = tens of ms of no-op steps) —
+        # and (b) a hard SMEM ceiling: the three step tables are
+        # scalar-prefetched at 12 B/step and walk off the ~1 MB SMEM cliff
+        # past ~85k steps (ops/mxu_gather.py sizing notes).
         for j, cls in enumerate(QUEUE_CLASSES):
             need = at(15 + j)
             if need <= 0:
@@ -367,14 +370,14 @@ class BaseRenderGraph:
                 raise RenderCapacityError(f"sampler queue {cls}", need, QUEUE_STEP_CEIL)
             cap_key = cls
             cur = self._caps.get(cap_key)
-            want = min(_pad_pow2(max(need * 3 // 2, 1024), minimum=1024), QUEUE_STEP_CEIL)
+            want = min(_pad_pow2(max(need * 9 // 8, 1024), minimum=1024), QUEUE_STEP_CEIL)
             if cur is None:
                 self._caps[cap_key] = want
                 self._program_cache.clear()
             elif need > cur:
                 self._caps[cap_key] = want
                 grew = True
-            elif want * 2 <= cur:
+            elif want * 4 <= cur:
                 self._caps[cap_key] = want
                 self._program_cache.clear()
         if at(7) > 0 and self._caps.get("blend_peels", 2) < 16:
