@@ -45,6 +45,11 @@ def light_gbuffer(
     interpret: bool = False,
     debug_stop_tex: bool = False,   # profiling: return after texture sampling
     tex_queue_cap: int = None,      # adaptive sampler step-queue size
+    duv_rows=None,                  # (N, 2, 2) precomputed uv derivatives:
+    #                                 sparse pseudo-image G-buffers carry the
+    #                                 FULL-RES screen derivatives of their
+    #                                 source pixels (the pseudo-image's own
+    #                                 neighbors are unrelated pixels)
 ):
     """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow, qtotal)
     when the MXU texture sampler is active (active_tex_slots is not
@@ -78,19 +83,26 @@ def light_gbuffer(
     tex_qtotal = jnp.int32(0)
     if textures is not None:
         mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
-        # Screen-space uv derivatives (quad-derivative equivalent).
-        uv_img = uv0.reshape(H, W, 2)
-        dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
-        dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
-        duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        if duv_rows is not None:
+            duv = duv_rows
+        else:
+            # Screen-space uv derivatives (quad-derivative equivalent).
+            uv_img = uv0.reshape(H, W, 2)
+            dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
+            dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
+            duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
         if active_tex_slots is not None:
             from . import texture as tex_ops
             from .shade import PBR_UVT0
 
+            # Broadcast multiply-reduce, NOT einsum: a per-pixel batched
+            # (3,3)@(3,) einsum lowers to a catastrophically padded MXU op
+            # (~1-2 ms per 64k rows, deferred.py attribute_planes notes —
+            # tens of ms at full resolution; profiled as the bulk of the
+            # r4 lighting stage).
             uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
-            coords = jnp.einsum(
-                "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
-            )[:, :2]
+            uvh = jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
+            coords = (uvt0[:, :2, :] * uvh[:, None, :]).sum(-1)
             tex_samples, tex_overflow, tex_qtotal = tex_ops.sample_textures_grid(
                 textures, mtex, coords, duv, mflags, (H, W),
                 tuple(active_tex_slots),
@@ -228,10 +240,10 @@ def cutout_alpha_pass(
         dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
         dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
         duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        # Broadcast multiply-reduce, NOT einsum (see light_gbuffer).
         uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
-        coords = jnp.einsum(
-            "nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
-        )[:, :2]
+        uvh = jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
+        coords = (uvt0[:, :2, :] * uvh[:, None, :]).sum(-1)
         samples, overflow, qtotal = tex_ops.sample_textures_grid(
             textures, mtex, coords, duv, mflags, (H, W), (TEX_ALBEDO,),
             pair_cap=tex_pair_cap, interpret=interpret,

@@ -373,6 +373,7 @@ def sample_grid_pcf5(
     pair_cap: int = 32,
     interpret: bool = False,
     queue_cap: int = None,
+    tiles: jnp.ndarray = None,     # optional pre-built build_pcf5_tiles(img)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """PCF5-with-bilinear-GE resolved INSIDE the gather kernel.
 
@@ -406,7 +407,15 @@ def sample_grid_pcf5(
     ]
     dys = (-1, 0, 1, 2)
     hlo, hhi = 1, 2
-    grid = build_grid_tiles(img, hlo, hhi)
+    if tiles is None:
+        grid = build_grid_tiles(img, hlo, hhi)
+    else:
+        # Pre-tiled source (static shadow maps are cached across frames —
+        # re-tiling a multi-MB stacked map every frame is pure waste).
+        grid = GatherGrid(
+            tiles=tiles, Gy=_cdiv(Hs_src, LT), Gx=_cdiv(Ws_src, LT),
+            hlo=hlo, R=_cdiv(LT + hlo + hhi, 8) * 8,
+        )
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
@@ -551,6 +560,13 @@ def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
         .reshape(Gy * Gx, R, C * STILE_W)
     )
     return GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=hlo, R=R)
+
+
+def build_pcf5_tiles(img: jnp.ndarray) -> jnp.ndarray:
+    """Pre-tile a (H, W) depth grid for sample_grid_pcf5's `tiles=` (the
+    PCF5 halo: hlo=1, hhi=2). For shadow maps cached across frames, build
+    this once with the maps instead of per frame."""
+    return build_grid_tiles(img, 1, 2).tiles
 
 
 def build_bilinear_tiles(planes: jnp.ndarray) -> jnp.ndarray:

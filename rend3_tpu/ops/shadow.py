@@ -666,6 +666,24 @@ def sample_shadow_maps(
     return [occ_all[:, k * H : (k + 1) * H] for k in range(len(entries))], overflow
 
 
+def stack_shadow_maps(smaps):
+    """Row-stack shadow maps with >= PCF-halo zero gaps: (stacked (R, maxw)
+    f32, bases — static row offset per map). Shared by the per-frame PCF
+    resolve and the cached prestack (base.py _ensure_shadow_maps)."""
+    from . import mxu_gather as mg
+
+    maxw = max(int(m.shape[1]) for m in smaps)
+    bases = []
+    parts = []
+    rows = 0
+    for m in smaps:
+        bases.append(rows)
+        hpad = -(-int(m.shape[0]) // mg.LT) * mg.LT + mg.LT  # gap >= PCF halo
+        parts.append(jnp.pad(m, ((0, hpad - m.shape[0]), (0, maxw - m.shape[1]))))
+        rows += hpad
+    return jnp.concatenate(parts, axis=0), bases
+
+
 def resolve_shadow_pcf5(
     smaps,               # list of (size_l, size_l) rasterized max-depth maps
     entries,             # list of (map_index, sx, sy, ref, hit) per (G-buffer, light)
@@ -673,6 +691,8 @@ def resolve_shadow_pcf5(
     pair_cap: int = 32,
     interpret: bool = False,
     queue_cap: int = None,
+    prestacked=None,     # optional (stacked, tiles) built once with the
+    #                      cached maps (stack_shadow_maps + build_pcf5_tiles)
 ):
     """All PCF5 shadow resolves of a frame in ONE fused MXU launch.
 
@@ -689,16 +709,28 @@ def resolve_shadow_pcf5(
     if not entries:
         return [], jnp.int32(0), jnp.int32(0)
 
-    maxw = max(int(m.shape[1]) for m in smaps)
-    bases = []
-    parts = []
-    rows = 0
-    for m in smaps:
-        bases.append(rows)
-        hpad = -(-int(m.shape[0]) // mg.LT) * mg.LT + mg.LT  # gap >= PCF halo
-        parts.append(jnp.pad(m, ((0, hpad - m.shape[0]), (0, maxw - m.shape[1]))))
-        rows += hpad
-    stacked = jnp.concatenate(parts, axis=0)
+    if prestacked is not None:
+        stacked, tiles = prestacked
+        bases = []
+        rows = 0
+        for m in smaps:
+            bases.append(rows)
+            rows += -(-int(m.shape[0]) // mg.LT) * mg.LT + mg.LT
+    else:
+        stacked, bases = stack_shadow_maps(smaps)
+        tiles = None
+
+    # Entries may have different screen shapes (full-resolution G-buffers
+    # plus compacted sparse pseudo-images of the blend peels): stack rows
+    # after padding every entry to the widest W with valid=False columns —
+    # padding adds no gather pairs, only empty screen tiles.
+    maxW = max(int(e[1].shape[1]) for e in entries)
+
+    def _padw(a, fill):
+        w = int(a.shape[1])
+        if w == maxW:
+            return a
+        return jnp.pad(a, ((0, 0), (0, maxW - w)), constant_values=fill)
 
     bxs, bys, fxs, fys, refs, valids = [], [], [], [], [], []
     for mi, sx, sy, ref, hit in entries:
@@ -708,24 +740,30 @@ def resolve_shadow_pcf5(
         bx = xb.astype(jnp.int32)
         by = yb.astype(jnp.int32)
         ok = hit & (bx >= 0) & (bx < w_m) & (by >= 0) & (by < h_m)
-        bxs.append(bx)
-        bys.append(by + bases[mi])
-        fxs.append((sx - 0.5) - xb)
-        fys.append((sy - 0.5) - yb)
-        refs.append(ref)
-        valids.append(ok)
+        bxs.append(_padw(bx, 0))
+        bys.append(_padw(by + bases[mi], 0))
+        fxs.append(_padw((sx - 0.5) - xb, 0.0))
+        fys.append(_padw((sy - 0.5) - yb, 0.0))
+        refs.append(_padw(ref, 0.0))
+        valids.append(_padw(ok, False))
 
-    H = entries[0][1].shape[0]
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     oks = cat(valids)
     pcf_all, overflow, qtotal = mg.sample_grid_pcf5(
         stacked, cat(bxs), cat(bys), cat(fxs), cat(fys), cat(refs), oks,
         pair_cap=pair_cap, interpret=interpret, queue_cap=queue_cap,
+        tiles=tiles,
     )
     # Uncovered pixels (invalid base / dropped pair) read 0 from the kernel;
     # the sample_shadow_maps path yields 1.0 (lit) there — substitute.
     pcf_all = jnp.where(oks, pcf_all, 1.0)
-    return [pcf_all[k * H : (k + 1) * H] for k in range(len(entries))], overflow, qtotal
+    outs = []
+    row = 0
+    for mi, sx, sy, ref, hit in entries:
+        h_e, w_e = int(sx.shape[0]), int(sx.shape[1])
+        outs.append(pcf_all[row : row + h_e, :w_e])
+        row += h_e
+    return outs, overflow, qtotal
 
 
 def pcf5_from_occlusion(occ: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:

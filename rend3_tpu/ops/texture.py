@@ -57,6 +57,12 @@ class TextureArrays(NamedTuple):
 class CubeArrays(NamedTuple):
     faces: jnp.ndarray       # (N+1, 6, E, E, 4) f32
     sizes: jnp.ndarray       # (N+1,) i32 actual face extent
+    # MXU-sampler view: every face padded with a 1-texel REPLICATED border
+    # (so the bilinear taps' edge clamping becomes plain in-grid reads) and
+    # stacked row-wise, (4, (N+1)*6*(E+2), E+2); pre-tiled at upload time
+    # like the 2D atlas (the tiling reshuffle must not run per frame).
+    grid_planes: jnp.ndarray = None
+    grid_tiles: jnp.ndarray = None
 
 
 def _shelf_pack(sizes):
@@ -178,16 +184,117 @@ def build_texture_atlas(textures: Dict[int, object]) -> TextureArrays:
 def build_cube_array(textures: Dict[int, object]) -> Optional[CubeArrays]:
     if not textures:
         return None
+    from . import mxu_gather as mg
+
     n_slots = max(textures.keys()) + 1
     ext = max(t.mips[0].shape[1] for t in textures.values())
+    P = ext + 2
     faces = np.zeros((n_slots + 1, 6, ext, ext, 4), dtype=np.float32)
+    grid = np.zeros((n_slots + 1, 6, P, P, 4), dtype=np.float32)
     sizes = np.zeros(n_slots + 1, dtype=np.int32)
     for idx, t in textures.items():
         f = t.mips[0]
         e = f.shape[1]
         faces[idx + 1, :, :e, :e] = f
         sizes[idx + 1] = e
-    return CubeArrays(faces=jax.device_put(faces), sizes=jax.device_put(sizes))
+        # Replicated 1-texel border: the scalar sampler clamps each bilinear
+        # tap to [0, e-1]; with base bx/by = tap0 + 1 in [0, e] the taps stay
+        # inside the padded block and read the identical clamped texels.
+        g = grid[idx + 1]
+        g[:, 1 : e + 1, 1 : e + 1] = f
+        g[:, 0, 1 : e + 1] = f[:, 0]
+        g[:, e + 1, 1 : e + 1] = f[:, e - 1]
+        g[:, :, 0] = g[:, :, 1]
+        g[:, :, e + 1] = g[:, :, e]
+    planes = jnp.moveaxis(
+        jax.device_put(grid.reshape((n_slots + 1) * 6 * P, P, 4)), -1, 0
+    )
+    tiles = jax.jit(mg.build_bilinear_tiles)(planes)
+    return CubeArrays(
+        faces=jax.device_put(faces),
+        sizes=jax.device_put(sizes),
+        grid_planes=planes,
+        grid_tiles=tiles,
+    )
+
+
+def _cube_face_coords(cube: CubeArrays, slot, dirs):
+    """Shared face-selection + in-face uv math of sample_cube: returns
+    (face (N,) i32, xf, yf (N,) f32 unfloored texel coords)."""
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(x > 0, 0, 1), jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5))
+    )
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    uc = jnp.where(is_x, jnp.where(x > 0, -z, z), jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    vc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+    u = 0.5 * (uc / ma + 1.0)
+    v = 0.5 * (vc / ma + 1.0)
+    e = cube.sizes[slot].astype(jnp.float32)
+    return face, u * e - 0.5, v * e - 0.5
+
+
+def sample_cube_grid(
+    cube: CubeArrays,
+    slot,
+    dirs_list,               # list of (N, 3) direction planes (one per MSAA sample)
+    hw,                      # (H, W) pixel layout of each flat N axis
+    valid_list=None,         # optional list of (N,) bool: sample only these
+    *,
+    pair_cap: int = 16,
+    interpret: bool = False,
+    queue_cap: int = None,
+):
+    """Cubemap bilinear sampling through the MXU gather sampler.
+
+    Replaces sample_cube's per-pixel scalar gathers (4 taps x 2M pixels
+    measured ~66 ms at 1080p — the single largest stage of the r4 frame)
+    with one sample_grid_bilinear launch over the pre-tiled padded face
+    grid built at upload time (build_cube_array). Exact vs sample_cube up
+    to bilinear-lerp summation order.
+
+    Returns (list of (N, 4) rgba per entry, needed pair cap, step total).
+    """
+    from . import mxu_gather as mg
+
+    H, W = hw
+    P = int(cube.faces.shape[2]) + 2
+    q_bx, q_by, q_fx, q_fy, q_wt, q_valid = [], [], [], [], [], []
+    for i, dirs in enumerate(dirs_list):
+        face, xf, yf = _cube_face_coords(cube, slot, dirs)
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        bx = x0.astype(jnp.int32) + 1
+        by = (slot * 6 + face) * P + y0.astype(jnp.int32) + 1
+        v = (
+            jnp.ones(xf.shape[0], bool)
+            if valid_list is None or valid_list[i] is None
+            else valid_list[i]
+        )
+        q_bx.append(bx.reshape(H, W))
+        q_by.append(by.reshape(H, W))
+        q_fx.append((xf - x0).reshape(H, W))
+        q_fy.append((yf - y0).reshape(H, W))
+        q_wt.append(jnp.ones((H, W), jnp.float32))
+        q_valid.append(v.reshape(H, W))
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    out, overflow, qtotal = mg.sample_grid_bilinear(
+        cube.grid_planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy),
+        cat(q_wt), cat(q_valid),
+        pair_cap=pair_cap, interpret=interpret, tiles=cube.grid_tiles,
+        queue_cap=queue_cap,
+    )
+    out = out.reshape(4, len(dirs_list), H, W)
+    return (
+        [out[:, i].reshape(4, H * W).T for i in range(len(dirs_list))],
+        overflow,
+        qtotal,
+    )
 
 
 def _bilinear_from_rect(atlas, rect, u, v):
@@ -278,29 +385,7 @@ def sample_cube(cube: CubeArrays, slot: int, dirs: jnp.ndarray) -> jnp.ndarray:
     dirs: (N, 3) world directions; returns (N, 4).
     Face order: +X, -X, +Y, -Y, +Z, -Z.
     """
-    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    is_z = ~(is_x | is_y)
-
-    face = jnp.where(
-        is_x, jnp.where(x > 0, 0, 1), jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5))
-    )
-    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
-    ma = jnp.maximum(ma, 1e-20)
-
-    # uc, vc per the standard cubemap layout
-    uc = jnp.where(is_x, jnp.where(x > 0, -z, z), jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
-    vc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
-
-    u = 0.5 * (uc / ma + 1.0)
-    v = 0.5 * (vc / ma + 1.0)
-
-    e = cube.sizes[slot].astype(jnp.float32)
-    xf = u * e - 0.5
-    yf = v * e - 0.5
+    face, xf, yf = _cube_face_coords(cube, slot, dirs)
     x0 = jnp.floor(xf)
     y0 = jnp.floor(yf)
     fx = (xf - x0)[..., None]

@@ -41,12 +41,16 @@ _DEBUG_STOP_AFTER = None
 
 # Raster classes with adaptive flat-list capacities (aux slots 10..14).
 FLAT_CLASSES = ("main", "resid", "cut", "blend", "shadow")
-# Adaptive MXU-gather step-queue classes (aux slots 15..18): the sampler
+# Adaptive MXU-gather step-queue classes (aux slots 15..19): the sampler
 # work queues, like the raster flat lists, must be sized to the frame's REAL
 # (screen tile, source cell) pair count — the static formula queue is
 # ~60-80% padding steps and each no-op Mosaic step costs ~1 us (the round-3
 # bench spent ~45 ms walking a 43k-step texture queue with ~10k real steps).
-QUEUE_CLASSES = ("q_tex", "q_cut", "q_blend", "q_pcf")
+QUEUE_CLASSES = ("q_tex", "q_cut", "q_blend", "q_pcf", "q_sky")
+# aux slot indices derived from the class lists (see frame()'s aux stack).
+_AUX_Q0 = 10 + len(FLAT_CLASSES)
+_AUX_BPX = _AUX_Q0 + len(QUEUE_CLASSES)
+_AUX_CUT = _AUX_BPX + 1
 # Hard ceiling on adopted step-queue capacity: the kernels scalar-prefetch
 # three 4-byte tables per step into SMEM (12 B/step) and crash near the
 # ~1 MB SMEM cliff (mxu_gather._pair_step_tables sizing notes); 48k steps
@@ -268,9 +272,8 @@ class BaseRenderGraph:
         import logging
 
         log = logging.getLogger(__name__)
-        main_cap, shadow_cap, resid_cap = (
-            self._last_caps if len(self._last_caps) == 3 else (*self._last_caps, 1 << 30)
-        )
+        lc = tuple(self._last_caps) + (1 << 30,) * (4 - len(self._last_caps))
+        main_cap, shadow_cap, resid_cap, cut_cap = lc
         grew = False
 
         def at(i, default=0):
@@ -326,6 +329,23 @@ class BaseRenderGraph:
         if at(6) > resid_cap:
             self._caps["resid"] = _pad_pow2(at(6), minimum=4096)
             grew = True
+        if at(_AUX_CUT) > cut_cap:
+            self._caps["cut"] = _pad_pow2(at(_AUX_CUT), minimum=4096)
+            grew = True
+        # Survivor-cap SHRINK (wide hysteresis): every cap-proportional cost
+        # (cull compaction, attribute planes, binning masks, pack gathers)
+        # pays the adopted capacity, and first-frame counts — before the
+        # carried predicted-visible mask tightens — run ~6x the steady
+        # state (r4 profile: main cap 65536 vs 5963 steady survivors).
+        # Shrinking only rebuilds the program (the image was correct).
+        for cap_key, cnt in (("main", at(0)), ("resid", at(6)), ("cut", at(_AUX_CUT))):
+            cur = self._caps.get(cap_key)
+            if not cur or cnt <= 0:
+                continue
+            want = _pad_pow2(max(cnt * 9 // 8, 4096), minimum=4096)
+            if want * 4 <= cur:
+                self._caps[cap_key] = want
+                self._program_cache.clear()
 
         # Flat-list (step-queue) capacities, aux slots 10..14: one-shot grow
         # on overflow (geometry dropped -> re-render) and one-shot SHRINK
@@ -363,7 +383,7 @@ class BaseRenderGraph:
         # scalar-prefetched at 12 B/step and walk off the ~1 MB SMEM cliff
         # past ~85k steps (ops/mxu_gather.py sizing notes).
         for j, cls in enumerate(QUEUE_CLASSES):
-            need = at(15 + j)
+            need = at(_AUX_Q0 + j)
             if need <= 0:
                 continue
             if need > QUEUE_STEP_CEIL:
@@ -383,6 +403,21 @@ class BaseRenderGraph:
         if at(7) > 0 and self._caps.get("blend_peels", 2) < 16:
             self._caps["blend_peels"] = self._caps.get("blend_peels", 2) * 2
             grew = True
+        # Sparse blend pixel-list capacity (slot 19): compacted hit pixels
+        # past the cap were dropped from shading — one-shot grow + re-render;
+        # shrink with the same wide hysteresis as the sampler queues. No
+        # ceiling: once the cap reaches the pixel count, the build falls
+        # back to the dense full-resolution path automatically.
+        bpx_need = at(_AUX_BPX)
+        if bpx_need > 0:
+            cur = self._caps.get("blend_px", 65536)
+            want = _pad_pow2(max(bpx_need * 9 // 8, 4096), minimum=4096)
+            if bpx_need > cur:
+                self._caps["blend_px"] = want
+                grew = True
+            elif want * 4 <= cur:
+                self._caps["blend_px"] = want
+                self._program_cache.clear()
         self.last_stats = {
             "main_survivors": int(counts[0]),
             "shadow_survivors": max(
@@ -567,8 +602,20 @@ class BaseRenderGraph:
 
             raise RenderCapacityError("adaptive shadow capacities", -1, -1)
         self._shadow_stats = {"shadow_survivors": int(counts[0])}
-        self._shadow_cache = (state, smaps)
-        return smaps
+        # Pre-stack + pre-tile the maps for the PCF gather ONCE with the
+        # cached maps: re-tiling the stacked multi-MB grid inside every
+        # frame program is pure per-frame waste for static maps.
+        from ..ops import mxu_gather as mg
+        from ..ops import shadow as shadow_ops
+
+        def _prestack(ms):
+            stacked, _bases = shadow_ops.stack_shadow_maps(list(ms))
+            return stacked, mg.build_pcf5_tiles(stacked)
+
+        pre = jax.jit(_prestack)(tuple(smaps))
+        bundle = (smaps, pre)
+        self._shadow_cache = (state, bundle)
+        return bundle
 
     def build_frame_callable(
         self,
@@ -787,8 +834,9 @@ class BaseRenderGraph:
         # re-raster nothing per frame); runs BEFORE the main key is computed
         # so any shadow-cap growth is settled into this frame's cap set.
         plan_smaps = ()
+        smaps_pre = ()
         if will_defer and plan:
-            plan_smaps = self._ensure_shadow_maps(
+            plan_smaps, smaps_pre = self._ensure_shadow_maps(
                 eval_output, geo, tri_vlocal, tri_obj, transforms_d,
                 shadow_visible, bases_d, backend,
             )
@@ -800,6 +848,7 @@ class BaseRenderGraph:
         main_cap = self._survivor_cap("main", ctable)
         shadow_cap = self._survivor_cap("shadow", ctable)
         resid_cap = min(self._caps.setdefault("resid", 4096), ctable)
+        cut_cap = self._survivor_cap("cut", ctable)
         blend_peels = self._caps.setdefault("blend_peels", 2) if len(blend) else 0
         tmul_main = self._caps.setdefault("tile_main_mult", 1)
         tmul_shadow = self._caps.setdefault("tile_shadow_mult", 1)
@@ -852,7 +901,7 @@ class BaseRenderGraph:
             self._cut_key = cut_key
         has_cutout, cutout_tri_d = self._cut_dev
         cutout_peels = self.cutout_peels if has_cutout else 0
-        self._last_caps = (main_cap, shadow_cap, resid_cap)
+        self._last_caps = (main_cap, shadow_cap, resid_cap, cut_cap)
         # Adaptive flat-list (chunk-queue) capacities per raster class: the
         # kernel step budget S scales with these, so sizing them to the
         # frame's REAL triangle-tile pair count (reported via aux slots
@@ -860,6 +909,12 @@ class BaseRenderGraph:
         # None = the conservative formula (first frame).
         fl_caps = tuple(self._caps.get(f"fl_{c}") for c in FLAT_CLASSES)
         q_caps = tuple(self._caps.get(c) for c in QUEUE_CLASSES)
+        # Sparse blend shading capacity (pixels): blend fragments cover a
+        # tiny fraction of the frame, so each peel's hit pixels are
+        # compacted into a (cap/128, 128) pseudo-image before shadow
+        # resolve + lighting (full-resolution per-peel lighting + PCF was
+        # ~2 extra full-frame shading passes, profiled r4). 0 = dense.
+        blend_px = self._caps.setdefault("blend_px", 65536) if len(blend) else 0
         key = (
             target.width,
             target.height,
@@ -879,6 +934,7 @@ class BaseRenderGraph:
             tex_pair_cap,
             cutout_peels,
             resid_cap,
+            cut_cap,
             blend_peels,
             shadow_pair_cap,
             blend_tex_slots,
@@ -888,6 +944,7 @@ class BaseRenderGraph:
             ),
             fl_caps,
             q_caps,
+            blend_px,
             tuple(id(f) for f in self.injected_passes),
         )
         self._last_key = key  # parallel/tiles.py builds the band variant from it
@@ -935,6 +992,7 @@ class BaseRenderGraph:
             cutout_tri_d,
             tuple((d, f) for (_n, _b, _c, d, f) in extras_host),
             plan_smaps,
+            smaps_pre,
         )
         return program, args
 
@@ -949,13 +1007,13 @@ class BaseRenderGraph:
         shadow maps row-sharded across chips and all-gathered over ICI."""
         (width, height, samples, plan, atlas_extent, handedness, has_tex, has_skybox,
          backend, occlusion, main_cap, shadow_cap, tmul_main, tmul_shadow,
-         active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, blend_peels,
-         shadow_pair_cap, blend_tex_slots, extras_sig, fl_caps, q_caps,
-         _pass_ids) = key
+         active_tex_slots, tex_pair_cap, cutout_peels, resid_cap, cut_cap,
+         blend_peels, shadow_pair_cap, blend_tex_slots, extras_sig, fl_caps,
+         q_caps, blend_px, _pass_ids) = key
         injected_passes = list(self.injected_passes)
         extra_routines = [self.routines[n] for (n, *_rest) in extras_sig]
         fl_main, fl_resid, fl_cut, fl_blend, fl_shadow = fl_caps
-        q_tex, q_cut, q_blend, q_pcf = q_caps
+        q_tex, q_cut, q_blend, q_pcf, q_sky = q_caps
         front_cw = handedness == Handedness.LEFT
         sample_offsets = raster_ops.MSAA4_OFFSETS if samples == 4 else raster_ops.CENTER_OFFSET
         aw, ah = atlas_extent
@@ -994,6 +1052,7 @@ class BaseRenderGraph:
             cutout_tri,
             extra_mats,
             smaps_in,
+            smaps_pre,
         ):
             materials = shade_ops.PbrMaterialTable(data=mat_data, flags=mat_flags, textures=mat_tex)
             # Registered non-PBR archetypes: (base, count, routine, data,
@@ -1027,7 +1086,9 @@ class BaseRenderGraph:
             # grows survivor caps and re-renders on overflow).
             main_count = jnp.int32(0)
             resid_count = jnp.int32(0)
+            cut_count = jnp.int32(0)
             blend_deep_px = jnp.int32(0)
+            blend_px_need = jnp.int32(0)
             shadow_counts = []
             bin_overflows = []
             shadow_bin_overflows = []
@@ -1101,7 +1162,11 @@ class BaseRenderGraph:
             # ---- background: clear color, then skybox where provided ----
             nsamp = len(sample_offsets)
             background = jnp.broadcast_to(clear_color, (nsamp, bh, width, 4))
-            if has_skybox:
+            if has_skybox and backend == "reference":
+                # Forward/oracle path: scalar-gather cube sampling at every
+                # pixel. The deferred path samples the skybox through the
+                # MXU sampler AFTER the G-buffer exists, only where no
+                # fragment hit (see below).
                 background = _skybox_background(
                     cube_textures, skybox_slot, uniforms, width, height, sample_offsets,
                     row0=row0, band_h=bh,
@@ -1202,6 +1267,33 @@ class BaseRenderGraph:
                     from ..ops import hi_z as hiz_ops
 
                     pm = prev_mask[jnp.clip(clipped.orig, 0, prev_mask.shape[0] - 1)]
+                    if _DEBUG_STOP_AFTER in ("setup1", "planes1", "pack1"):
+                        # Profiling: phase-1 geometry sub-stages (the body of
+                        # geom_pass, split for the prefix profiler).
+                        t_dbg = geom_ops.cull_and_setup(
+                            clipped.clip, opaque_valid & pm, width, height,
+                            cull_mode=raster_ops.CullMode.BACK, front_is_cw=front_cw,
+                            subpixel=subpix, cap=main_cap, y_range=y_range,
+                        )
+                        if _DEBUG_STOP_AFTER == "setup1":
+                            return t_dbg.setup
+                        p_dbg = def_ops.attribute_planes(
+                            t_dbg, clipped.clip, clipped.bary, clipped.orig,
+                            tri_vlocal, tri_obj, bases, geo, mv, material_slots,
+                            width, height,
+                        )
+                        if _DEBUG_STOP_AFTER == "planes1":
+                            return p_dbg
+                        b_dbg = geom_ops.bin_triangles(
+                            t_dbg, wp, hp,
+                            tile_cap=min(main_cap, _tile_cap_for(main_cap, n_tiles_d) * tmul_main),
+                            tile_h=def_ops.DTILE_H, tile_w=def_ops.DTILE_W, y0=row0,
+                        )
+                        pk_dbg = def_ops.pack_raster(
+                            t_dbg, p_dbg, b_dbg, wp, hp, flat_mult=tmul_main, y0=row0,
+                            flat_cap=fl_main,
+                        )
+                        return pk_dbg.bset, pk_dbg.st, pk_dbg.flat.ids
                     tris, pk_m1 = geom_pass(opaque_valid & pm, None, main_cap, "main", fl_main)
                     gbufs_1 = [resolve_at(pk_m1, si) for si in range(nsamp)]
                     if _DEBUG_STOP_AFTER == "gbuf1":
@@ -1267,7 +1359,7 @@ class BaseRenderGraph:
                     # shared across MSAA samples; the peel loop runs per
                     # sample (coverage and depth are per-sample state).
                     tris_c, pk_c = geom_pass(
-                        clipped.valid & cmask, hiz_pyramid, main_cap, "cut", fl_cut
+                        clipped.valid & cmask, hiz_pyramid, cut_cap, "cut", fl_cut
                     )
                     for si in range(nsamp):
                         acc = gbufs_p[si].data
@@ -1277,6 +1369,8 @@ class BaseRenderGraph:
                         bound_img = None
                         for _peel in range(cutout_peels):
                             gbuf_c = resolve_at(pk_c, si, bound=bound_img)
+                            if _DEBUG_STOP_AFTER == "cutraster" and si == 0 and _peel == 0:
+                                return gbuf_c.data
                             pass_img, tex_ovf, tex_q = light_ops.cutout_alpha_pass(
                                 gbuf_c, materials, textures if has_tex else None,
                                 active_tex_slots, (hp, wp),
@@ -1285,6 +1379,8 @@ class BaseRenderGraph:
                             )
                             tex_pair_overflows.append(tex_ovf)
                             _queue_need("q_cut", tex_q)
+                            if _DEBUG_STOP_AFTER == "cutalpha1" and si == 0 and _peel == 0:
+                                return pass_img.astype(jnp.float32)
                             chit = gbuf_c.data[def_ops.G_HIT] > 0.0
                             cdepth = gbuf_c.data[def_ops.G_DEPTH]
                             nearer = ~ohit | (cdepth > odepth)
@@ -1293,10 +1389,63 @@ class BaseRenderGraph:
                             done = done | ~chit | (chit & pass_img) | (chit & ~nearer)
                             bound_img = jnp.where(done, 0.0, cdepth)
                         gbufs_p[si] = def_ops.GBuffer(data=acc)
-                    main_count = main_count + tris_c.count
+                    cut_count = tris_c.count
 
                 if _DEBUG_STOP_AFTER == "cutout":
                     return gbufs_p[0].data
+
+                if has_skybox:
+                    # Skybox through the MXU sampler, only where no fragment
+                    # hit: sample_cube's per-pixel scalar gathers (4 taps x
+                    # 2M pixels) measured ~66 ms at 1080p — the single
+                    # largest stage of the r4 frame. Sampling cost now
+                    # scales with VISIBLE sky pixels.
+                    from ..ops import texture as tex_ops
+
+                    in_frame = (
+                        (jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) < bh)
+                        & (jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) < width)
+                    )
+                    dirs_list = []
+                    need_list = []
+                    for si, (ox, oy) in enumerate(sample_offsets):
+                        cols = jnp.arange(wp, dtype=jnp.float32) + ox
+                        rows_f = (jnp.arange(hp, dtype=jnp.int32) + row0).astype(jnp.float32) + oy
+                        py, px = jnp.meshgrid(rows_f, cols, indexing="ij")
+                        ndc_x = px / width * 2.0 - 1.0
+                        ndc_y = 1.0 - py / height * 2.0
+                        clip4 = jnp.stack(
+                            [ndc_x, ndc_y, jnp.ones_like(ndc_x), jnp.ones_like(ndc_x)],
+                            axis=-1,
+                        ).reshape(-1, 4)
+                        world = clip4 @ uniforms.inv_origin_view_proj.T
+                        wdir = world[:, :3] / jnp.where(
+                            world[:, 3:4] == 0.0, 1.0, world[:, 3:4]
+                        )
+                        nlen = jnp.sqrt((wdir * wdir).sum(-1, keepdims=True))
+                        dirs_list.append(wdir / jnp.where(nlen == 0.0, 1.0, nlen))
+                        need_list.append(
+                            (~(gbufs_p[si].data[def_ops.G_HIT] > 0.0) & in_frame).reshape(-1)
+                        )
+                    sky_rgba, sky_ovf, sky_q = tex_ops.sample_cube_grid(
+                        cube_textures, skybox_slot, dirs_list, (hp, wp), need_list,
+                        pair_cap=tex_pair_cap, interpret=interp, queue_cap=q_sky,
+                    )
+                    tex_pair_overflows.append(sky_ovf)
+                    _queue_need("q_sky", sky_q)
+                    background = jnp.stack(
+                        [
+                            jnp.where(
+                                need_list[si][:, None],
+                                jnp.concatenate(
+                                    [sky_rgba[si][:, :3], jnp.ones_like(sky_rgba[si][:, 3:4])],
+                                    axis=-1,
+                                ),
+                                jnp.broadcast_to(clear_color, (hp * wp, 4)),
+                            ).reshape(hp, wp, 4)[:bh, :width]
+                            for si in range(nsamp)
+                        ]
+                    )
 
                 # ---- map-free shadow resolve (exact PCF5, zero gathers) ----
                 # Always precomputed in deferred mode: masked light slots get
@@ -1373,8 +1522,10 @@ class BaseRenderGraph:
                     at a padded G-buffer's fragment positions: world
                     reconstruct -> light NDC, with the reference's
                     atlas-space bounds expressions (opaque.wgsl:509-514,
-                    incl. the any() quirk)."""
+                    incl. the any() quirk). Works on any G-buffer shape —
+                    full-resolution or a compacted sparse pseudo-image."""
                     gp = gbuf_full.data
+                    _, hg, wg = gp.shape
                     den = gp[def_ops.G_DEN]
                     invden = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
                     vp_img = gp[def_ops.G_VP : def_ops.G_VP + 3] * invden[None]
@@ -1382,7 +1533,7 @@ class BaseRenderGraph:
                     iv = uniforms.inv_view
                     world = mat_img(iv[:3, :3], 3, vp_img) + iv[:3, 3][:, None, None]
                     world4 = jax.lax.optimization_barrier(
-                        jnp.concatenate([world, jnp.ones((1, hp, wp))], axis=0)
+                        jnp.concatenate([world, jnp.ones((1, hg, wg))], axis=0)
                     )
                     out = []
                     for k, (li, (ox, oy), size) in enumerate(plan):
@@ -1424,6 +1575,11 @@ class BaseRenderGraph:
                     pcfs, sovf, pcf_q = shadow_ops.resolve_shadow_pcf5(
                         smaps, entries, pair_cap=shadow_pair_cap, interpret=interp,
                         queue_cap=q_pcf,
+                        prestacked=(
+                            smaps_pre
+                            if shard_axis is None and len(smaps_pre)
+                            else None
+                        ),
                     )
                     pair_overflows.append(sovf)
                     _queue_need("q_pcf", pcf_q)
@@ -1436,7 +1592,7 @@ class BaseRenderGraph:
                             svals.append(jnp.where(ib, pcfs[i], 1.0))
                             i += 1
                         while len(svals) < L:
-                            svals.append(jnp.ones((hp, wp), jnp.float32))
+                            svals.append(jnp.ones_like(svals[0]))
                         outs.append(jax.lax.optimization_barrier(jnp.stack(svals)))
                     return outs
 
@@ -1497,7 +1653,61 @@ class BaseRenderGraph:
                             blend_bhits[si].append(bhit)
                             bound_b = jnp.where(bhit, gbuf_b.data[def_ops.G_DEPTH], 0.0)
 
-                flat_blend_gbufs = [g for per in blend_gbufs for g in per]
+                # Sparse blend shading: blend fragments cover a tiny fraction
+                # of the frame (aux blend_px_need), yet shading + PCF at full
+                # resolution per peel cost ~2 extra full-frame lighting
+                # passes and 2/3 of the PCF stack (r4 profile). Compact each
+                # peel's hit pixels into a (blend_px/128, 128) pseudo-image;
+                # shadow resolve + lighting run on the pseudo-image and the
+                # shaded rows scatter back for compositing. Exact: every op
+                # downstream is per-pixel (uv derivatives are gathered from
+                # the full-res image, not recomputed on the pseudo-image).
+                use_sparse = bool(blend_px) and blend_px < hp * wp
+                blend_spix = [[None] * blend_peels for _ in range(nsamp)]
+                if blend_peels and use_sparse:
+                    Npx = hp * wp
+                    Hs = blend_px // 128
+                    for si in range(nsamp):
+                        for p in range(blend_peels):
+                            bhit_f = blend_bhits[si][p]
+                            gfull = blend_gbufs[si][p].data
+                            ids, cnt = geom_ops._compact(bhit_f.reshape(-1), blend_px)
+                            blend_px_need = jnp.maximum(blend_px_need, cnt)
+                            safe = jnp.clip(ids, 0, Npx - 1)
+                            rows = jnp.where(
+                                ids[None, :] >= 0,
+                                gfull.reshape(def_ops.GB_CH, Npx)[:, safe],
+                                0.0,
+                            )
+                            pseudo = def_ops.GBuffer(
+                                data=rows.reshape(def_ops.GB_CH, Hs, 128)
+                            )
+                            duv_rows = None
+                            if has_tex and blend_tex_slots:
+                                den_f = gfull[def_ops.G_DEN]
+                                invd = jnp.where(
+                                    jnp.abs(den_f) < 1e-30, 1.0, 1.0 / den_f
+                                )
+                                uv_img = (
+                                    gfull[def_ops.G_UV0 : def_ops.G_UV0 + 2]
+                                    * invd[None]
+                                ).transpose(1, 2, 0)
+                                dxq = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
+                                dyq = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
+                                duv_full = jnp.stack(
+                                    [dxq.reshape(Npx, 2), dyq.reshape(Npx, 2)], axis=1
+                                )
+                                duv_rows = jnp.where(
+                                    ids[:, None, None] >= 0, duv_full[safe], 0.0
+                                )
+                            blend_spix[si][p] = (ids, pseudo, duv_rows)
+                    flat_blend_gbufs = [
+                        blend_spix[si][p][1]
+                        for si in range(nsamp)
+                        for p in range(blend_peels)
+                    ]
+                else:
+                    flat_blend_gbufs = [g for per in blend_gbufs for g in per]
                 if _DEBUG_STOP_AFTER == "blendraster":
                     return jnp.stack([g.data[def_ops.G_DEPTH] for g in flat_blend_gbufs]) if flat_blend_gbufs else gbufs_p[0].data[def_ops.G_DEPTH]
 
@@ -1579,6 +1789,8 @@ class BaseRenderGraph:
                             shadow_atlas, uniforms, background[si], textures=None,
                             shadow_values=sv_si,
                         )
+                    if _DEBUG_STOP_AFTER == "lightopaque" and si == 0:
+                        return img_s
                     if extras_rt:
                         # Registered non-PBR archetypes shade their G-buffer
                         # pixels now (before blend compositing over the
@@ -1591,21 +1803,34 @@ class BaseRenderGraph:
 
                     if blend_peels:
                         # Shade + composite the pre-rasterized peels (front
-                        # to back, under-compositing).
+                        # to back, under-compositing). Under sparse blend
+                        # shading the peel's G-buffer is the compacted
+                        # pseudo-image; the shaded rows scatter back to full
+                        # resolution for the composite.
                         C = jnp.zeros((hp, wp, 3), jnp.float32)
                         A = jnp.zeros((hp, wp), jnp.float32)
-                        bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
-                        for gbuf_b, bhit, sv_b in zip(
+                        if use_sparse:
+                            Hs = blend_px // 128
+                            bg0 = jnp.zeros((Hs, 128, 4), jnp.float32)
+                        else:
+                            bg0 = jnp.zeros((hp, wp, 4), jnp.float32)
+                        for p, (gbuf_b, bhit, sv_b) in enumerate(zip(
                             blend_gbufs[si], blend_bhits[si], blend_svs[si]
-                        ):
+                        )):
+                            duv_rows = None
+                            if use_sparse:
+                                ids, shade_g, duv_rows = blend_spix[si][p]
+                            else:
+                                shade_g = gbuf_b
                             if has_tex and blend_tex_slots:
                                 rgba_b, tovf, bq = light_ops.light_gbuffer(
-                                    gbuf_b, materials, dir_lights, point_lights,
+                                    shade_g, materials, dir_lights, point_lights,
                                     shadow_atlas, uniforms, bg0, textures=textures,
                                     shadow_values=sv_b,
                                     active_tex_slots=blend_tex_slots,
                                     tex_pair_cap=tex_pair_cap, interpret=interp,
                                     tex_queue_cap=q_blend,
+                                    duv_rows=duv_rows,
                                 )
                                 tex_pair_overflows.append(tovf)
                                 _queue_need("q_blend", bq)
@@ -1617,7 +1842,7 @@ class BaseRenderGraph:
                                 # of random gathers — measured ~3.8s of the
                                 # 4.6s r3 frame).
                                 rgba_b = light_ops.light_gbuffer(
-                                    gbuf_b, materials, dir_lights, point_lights,
+                                    shade_g, materials, dir_lights, point_lights,
                                     shadow_atlas, uniforms, bg0,
                                     textures=None,
                                     shadow_values=sv_b,
@@ -1626,8 +1851,17 @@ class BaseRenderGraph:
                                 # Registered blend-mode archetypes shade
                                 # their peel pixels (alpha = rgba[..., 3]).
                                 rgba_b = light_ops.apply_material_routines(
-                                    rgba_b, gbuf_b, extras_rt, dir_lights,
+                                    rgba_b, shade_g, extras_rt, dir_lights,
                                     point_lights, sv_b, uniforms,
+                                )
+                            if use_sparse:
+                                Npx = hp * wp
+                                scat_idx = jnp.where(ids >= 0, ids, Npx)
+                                rgba_b = (
+                                    jnp.zeros((Npx, 4), jnp.float32)
+                                    .at[scat_idx]
+                                    .set(rgba_b.reshape(blend_px, 4), mode="drop")
+                                    .reshape(hp, wp, 4)
                                 )
                             a = rgba_b[..., 3] * bhit
                             C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
@@ -1723,6 +1957,8 @@ class BaseRenderGraph:
                     jnp.asarray(queue_needs.get(c, jnp.int32(0)), jnp.int32)
                     for c in QUEUE_CLASSES
                 ]
+                + [blend_px_need, cut_count]  # 19: sparse blend px need,
+                #                               20: cutout survivor count
             )
             mask_out = new_mask if occlusion else jnp.zeros(1, bool)
             return out, mask_out, aux

@@ -101,3 +101,27 @@ def test_blend_peeling_matches_scan_oracle():
     assert diff.max() <= 1, f"max u8 diff {diff.max()}"
     # the scene must actually have visible blended content
     assert (got[:, :, 0] > 10).any() and (got[:, :, 2] > 10).any()
+
+
+def test_sparse_blend_shading_matches_dense():
+    """Sparse blend shading (compacted pseudo-image lighting + scatter-back,
+    routine/base.py blend_px) must reproduce the dense full-resolution peel
+    shading exactly: every downstream op is per-pixel and uv derivatives are
+    gathered from the full-res image."""
+    # Dense: default cap (65536) >= the 64x64 target's pixel count.
+    dense, _ = _render()
+
+    runner = TestRunner()
+    keep = _build(runner)
+    # Force the sparse path: cap below the 64x64 pixel count (4096 < 8192
+    # after padding) but above the scene's real blend coverage.
+    runner.base_graph._caps["blend_px"] = 4096
+    sparse = runner.render_frame(FrameRenderSettings(size=64))
+    assert runner.base_graph._caps["blend_px"] == 4096, (
+        "cap grew past the pixel count: the sparse path was not exercised"
+    )
+    del keep
+    assert np.array_equal(sparse, dense), (
+        f"sparse blend shading diverged: max u8 diff "
+        f"{np.abs(sparse.astype(int) - dense.astype(int)).max()}"
+    )

@@ -454,3 +454,36 @@ def test_bc7_bc6h_decode():
     img_k, srgb = decode_ktx2(data)
     assert not srgb
     np.testing.assert_array_equal(img_k, img7)
+
+
+def test_sample_cube_grid_matches_scalar_sampler():
+    """The MXU skybox path (texture.sample_cube_grid over the padded face
+    grid) must reproduce sample_cube's clamped bilinear fetches; lerp
+    summation order may differ by float rounding only."""
+    from rend3_tpu.ops import texture as tex_ops
+
+    rng = np.random.default_rng(3)
+
+    class _Tex:
+        def __init__(self, mip):
+            self.mips = [mip]
+
+    e = 16
+    cube = tex_ops.build_cube_array(
+        {0: _Tex(rng.random((6, e, e, 4)).astype(np.float32))}
+    )
+    # Directions covering all faces, edges and corners.
+    dirs = rng.normal(size=(2048, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs_j = jnp.asarray(dirs.reshape(-1, 3))
+
+    want = np.asarray(tex_ops.sample_cube(cube, 1, dirs_j))
+    # 2048 = (32, 64)? needs W % 128 == 0 and H % 32 == 0 -> use (32, 128).
+    dirs_pad = jnp.concatenate(
+        [dirs_j, jnp.broadcast_to(dirs_j[:1], (4096 - 2048, 3))], axis=0
+    )
+    got_list, _ovf, _q = tex_ops.sample_cube_grid(
+        cube, 1, [dirs_pad], (32, 128), None, interpret=True
+    )
+    got = np.asarray(got_list[0])[:2048]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

@@ -60,7 +60,7 @@ def main():
         geo, tri_vlocal, tri_obj, _bv, _bo, transforms, visible, shadow_visible,
         bases, material_slots, mat_data, mat_flags, mat_tex, dir_lights,
         point_lights, uniforms, view, proj, clear_color, _tex, _cube, _sky, _pm,
-        _cutout_tri, _extra_mats, _smaps,
+        _cutout_tri, _extra_mats, _smaps, _smaps_pre,
     ) = args
     materials = shade_ops.PbrMaterialTable(mat_data, mat_flags, mat_tex)
     front_cw = r.handedness == Handedness.LEFT
