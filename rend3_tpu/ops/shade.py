@@ -401,6 +401,13 @@ def _uv_gradients(sx, sy, inv_w, bmat, bar, pb, uv_corners):
     return jnp.stack([duv_dx, duv_dy], axis=1)
 
 
+
+# Diagnostic: truncate _shade_pixels early ("pixdata": after material/texture
+# resolution, "dir": after the directional-light loop) for the fused-prefix
+# profiler (tools/profile_prefix.py).
+_DEBUG_STOP = None
+
+
 def _shade_pixels(
     mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
     dir_lights: DirLightArrays, point_lights: PointLightArrays,
@@ -545,6 +552,14 @@ def _shade_pixels(
     v = -_normalize(view_pos)
     view3 = uniforms.view[:3, :3]
 
+    if _DEBUG_STOP == "pixdata":
+        # Keep every pixel-data product live so the prefix timing covers it.
+        dbg = (
+            albedo[:, :3] * roughness + f0 + diffuse_color
+            + normal + emissive + (ao + clear_coat + cc_rough) * v
+        )
+        return dbg, albedo[:, 3:4]
+
     color = emissive
     # Directional lights with shadows. Static loop over capacity; masked.
     L = dir_lights.mask.shape[0]
@@ -585,6 +600,9 @@ def _shade_pixels(
         # term at nol==0 with roughness 0; emulate (jnp.maximum propagates).
         contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
         color = color + jnp.where(dir_lights.mask[i], contrib, 0.0)
+
+    if _DEBUG_STOP == "dir":
+        return color, albedo[:, 3:4]
 
     # Point lights: one compiled lax.scan step per light (the reference
     # shades an arbitrary-length light array in a shader loop,

@@ -88,12 +88,25 @@ def main():
 
     iters = 20
     ts = []
+    prof = None
+    if "--profile" in sys.argv:
+        import cProfile
+
+        prof = cProfile.Profile()
     for _ in range(iters):
         t0 = time.perf_counter()
+        if prof is not None:
+            prof.enable()
         r.swap_instruction_buffers()
         eval_output = r.evaluate_instructions()
         graph.build_frame_callable(eval_output, target, settings)
+        if prof is not None:
+            prof.disable()
         ts.append(time.perf_counter() - t0)
+    if prof is not None:
+        import pstats
+
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(30)
     ms = np.asarray(ts) * 1e3
     print(f"steady-state host loop over {n_objects} objects: "
           f"min {ms.min():.2f} ms  median {np.median(ms):.2f} ms  max {ms.max():.2f} ms")

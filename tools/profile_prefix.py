@@ -51,16 +51,25 @@ def main():
     if len(sys.argv) > 4:
         stages = tuple(s if s != "None" else None for s in sys.argv[4].split(","))
 
+    from rend3_tpu.ops import shade as shade_mod
+
     ledger = {}
     prev = 0.0
     for stage in stages:
-        base_mod._DEBUG_STOP_AFTER = stage
+        if stage in ("shadepixdata", "shadedir"):
+            # Bisect _shade_pixels inside the opaque lighting prefix.
+            base_mod._DEBUG_STOP_AFTER = "lightopaque"
+            shade_mod._DEBUG_STOP = {"shadepixdata": "pixdata", "shadedir": "dir"}[stage]
+        else:
+            base_mod._DEBUG_STOP_AFTER = stage
+            shade_mod._DEBUG_STOP = None
         runner.base_graph._program_cache.clear()
         program, args = runner.base_graph.build_frame_callable(eval_output, target, settings)
         ms = time_op(program.__wrapped__, *args, iters=4, name=f"prefix {stage}")
         ledger[str(stage)] = (ms, ms - prev)
         prev = ms
     base_mod._DEBUG_STOP_AFTER = None
+    shade_mod._DEBUG_STOP = None
 
     print("\n==== fused prefix ledger (ms, delta) ====")
     for k, (ms, d) in ledger.items():
