@@ -309,6 +309,14 @@ class BaseRenderGraph:
                     raise RenderCapacityError(mult_key, new, ceiling)
                 self._caps[mult_key] = new
                 grew = True
+            elif need > 0 and _pad_pow2(need, minimum=1) * 4 <= cur:
+                # SHRINK (wide hysteresis, mirrors the survivor caps): the
+                # packed tile rasters pay base_cap*mult chunks per tile, and
+                # frame 1's unoccluded binning inflates the mult ~4x over the
+                # carried-mask steady state. The frame was correct (need <=
+                # cur), so shrinking only rebuilds a leaner program.
+                self._caps[mult_key] = _pad_pow2(need, minimum=1)
+                self._program_cache.clear()
 
         # Gather pair caps: aux carries the needed cap (max per-tile pairs
         # incl. the step-queue budget); jump straight there.

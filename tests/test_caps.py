@@ -65,6 +65,29 @@ def test_capacity_ceiling_raises_typed_error():
         graph._grow_shadow_caps(counts, cap_used=1 << 30)
 
 
+def test_tile_mult_shrinks_with_wide_hysteresis():
+    """Grow-only tile multipliers leave steady frames paying frame-1's
+    unoccluded binning cost forever (r4 profile: needed mult 1, adopted 4).
+    A need 4x under the adopted cap shrinks it — a rebuild, NOT a re-render
+    (the frame was correct) — while a need at half the cap stays put so
+    view swings don't oscillate caps across compile boundaries."""
+    runner = TestRunner()
+    graph = runner.base_graph
+    graph._caps["tile_main_mult"] = 4
+    graph._caps["tile_shadow_mult"] = 2
+    graph._last_caps = (1 << 30, 1 << 30, 1 << 30)
+    graph._program_cache["sentinel"] = object()
+
+    counts = np.zeros(19, np.int64)
+    counts[8] = 1  # main mult need: 1*4 <= 4 -> shrink
+    counts[9] = 1  # shadow mult need: 1*4 > 2 -> hold
+    grew = graph._grow_caps(counts)
+    assert not grew  # shrink never forces a re-render
+    assert graph._caps["tile_main_mult"] == 1
+    assert graph._caps["tile_shadow_mult"] == 2
+    assert not graph._program_cache  # stale mult-4 program evicted
+
+
 def test_shadow_maps_cached_across_static_frames():
     """Static lights + static casters re-raster no shadow geometry: the
     second frame reuses the device shadow maps (VERDICT r3 next-round #1a;
