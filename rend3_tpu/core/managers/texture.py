@@ -195,7 +195,13 @@ class TextureManager:
             from ...ops import mxu_gather as mg
 
             planes = jnp.moveaxis(self._atlas_dev, -1, 0)
-            tiles = jax.jit(mg.build_bilinear_tiles)(planes)
+            # Stored in the sampler's MXU dtype (bf16 by default): the
+            # gather kernel casts tile rows to TEX_DOT_DTYPE before its dot
+            # anyway, so a bf16-at-rest atlas is numerically IDENTICAL and
+            # halves the dominant per-step tile-block DMA.
+            tiles = jax.jit(
+                lambda p: mg.build_bilinear_tiles(p).astype(tex_ops.TEX_DOT_DTYPE)
+            )(planes)
             self._device = tex_ops.TextureArrays(
                 atlas=self._atlas_dev,
                 rects=jax.device_put(self._rects),

@@ -628,6 +628,14 @@ def sample_grid_bilinear(
         grid = GatherGrid(tiles=tiles, Gy=Gy, Gx=Gx, hlo=0, R=R)
     else:
         grid = _build_grid_tiles_multi(planes, 0, 1)
+    if dot_dtype == jnp.bfloat16 and grid.tiles.dtype != jnp.bfloat16:
+        # The kernel casts tile rows to the dot dtype anyway; casting the
+        # whole (static or freshly built) tile store up front is numerically
+        # identical and halves the dominant per-step tile-block DMA.
+        grid = GatherGrid(
+            tiles=grid.tiles.astype(jnp.bfloat16),
+            Gy=grid.Gy, Gx=grid.Gx, hlo=grid.hlo, R=grid.R,
+        )
     Gy, Gx, R = grid.Gy, grid.Gx, grid.R
 
     cap = min(pair_cap, Gy * Gx)
