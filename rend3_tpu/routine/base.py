@@ -1874,7 +1874,9 @@ class BaseRenderGraph:
                             a = rgba_b[..., 3] * bhit
                             C = C + ((1.0 - A) * a)[..., None] * rgba_b[..., :3]
                             A = A + (1.0 - A) * a
-                            blend_deep_px = bhit.sum().astype(jnp.int32)
+                            # Accumulate across peels (and samples): total
+                            # blend-shaded pixel count, not just the last peel.
+                            blend_deep_px = blend_deep_px + bhit.sum().astype(jnp.int32)
                         Cc = C[:bh, :width]
                         Ac = A[:bh, :width]
                         img_s = jnp.concatenate(
