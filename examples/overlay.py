@@ -57,6 +57,9 @@ def _text_image(text, scale=2):
 
 class OverlayExample(framework.App):
     HANDEDNESS = Handedness.LEFT
+    # Static UI: bake once and composite inside the jitted frame program
+    # (the reference draws egui in the renderpass, rend3-egui/src/lib.rs:52-94).
+    OVERLAY_ON_DEVICE = True
 
     def clear_color(self):
         return (0.10, 0.05, 0.10, 1.0)

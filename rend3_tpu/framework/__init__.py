@@ -78,12 +78,39 @@ class App:
     def handle_redraw(self, context: RedrawContext) -> None:
         """Per-frame scene mutation (animation etc.); default no-op."""
 
+    #: When True, overlay_jobs are baked once and composited ON DEVICE
+    #: inside the jitted frame program via register_pass (the reference
+    #: draws egui in the renderpass, rend3-egui/src/lib.rs:52-94). The
+    #: bake is keyed on job + texture content, so STATIC UI costs one
+    #: registration (a compile) and then rides every frame for free;
+    #: per-frame-changing UI should leave this False (host compositor —
+    #: rebaking would recompile the frame each time).
+    OVERLAY_ON_DEVICE = False
+
     def overlay_jobs(self, context: RedrawContext) -> list:
         """UI paint jobs (overlay.PaintJob) composited over this frame —
         the rend3-egui integration point (the reference adds the egui node
         after the tonemap node, rend3-egui/src/lib.rs:16-60). Return an
         empty list for no overlay."""
         return []
+
+
+def _overlay_key(overlay_routine, jobs) -> str:
+    """Content hash of paint jobs + registered UI textures: the on-device
+    overlay pass rebakes (and the frame recompiles) only when this changes."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for job in jobs:
+        for arr in (job.vertices, job.colors, job.indices):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        if job.uvs is not None:
+            h.update(np.ascontiguousarray(job.uvs).tobytes())
+        h.update(repr((job.texture, job.clip_rect)).encode())
+    for tid in sorted(overlay_routine._textures):
+        h.update(str(tid).encode())
+        h.update(overlay_routine._textures[tid].tobytes())
+    return h.hexdigest()
 
 
 def render_single_frame(app: App, width: int, height: int) -> np.ndarray:
@@ -122,6 +149,8 @@ def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 
 
     images = []
     elapsed = 0.0
+    dev_overlay_key = None
+    dev_overlay_fn = None
     for i in range(frames):
         ctx = RedrawContext(
             renderer=renderer,
@@ -132,11 +161,19 @@ def start(app: App, width: int, height: int, frames: int = 1, frame_dt: float = 
             overlay=overlay_routine,
         )
         app.handle_redraw(ctx)
+        jobs = app.overlay_jobs(ctx)
+        if jobs and app.OVERLAY_ON_DEVICE:
+            key = _overlay_key(overlay_routine, jobs)
+            if key != dev_overlay_key:
+                if dev_overlay_fn is not None:
+                    base_graph.unregister_pass(dev_overlay_fn)
+                dev_overlay_fn = overlay_routine.device_pass(jobs, width, height)
+                base_graph.register_pass(dev_overlay_fn)
+                dev_overlay_key = key
         renderer.swap_instruction_buffers()
         eval_output = renderer.evaluate_instructions()
         img = base_graph.render_frame(eval_output, target, settings, skybox_slot=app.skybox_slot())
-        jobs = app.overlay_jobs(ctx)
-        if jobs:
+        if jobs and not app.OVERLAY_ON_DEVICE:
             img = overlay_routine.render(img, jobs)
         images.append(img)
         elapsed += frame_dt

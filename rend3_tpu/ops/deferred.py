@@ -62,7 +62,7 @@ P_MAT = 54   # 1: material slot as float value
 # 55..63 pad
 
 # G-buffer channels.
-GB_CH = 24
+GB_CH = 25
 G_DEPTH = 0
 G_DEN = 1
 G_VP = 2     # 3
@@ -73,7 +73,15 @@ G_UV1 = 13   # 2
 G_COL = 15   # 4
 G_MAT = 19
 G_HIT = 20
-# 21..23 pad
+G_DUV = 21   # 4: du/dx, dv/dx, du/dy, dv/dy — ANALYTIC screen-space uv
+#              derivatives from the quotient rule on the uv0/den planes
+#              (both linear in screen space), computed in the raster
+#              finalize. Unlike image-space finite differences these are
+#              per-pixel exact and band-invariant: a row-band render of the
+#              target produces bit-identical values to the full-target
+#              render (multi-chip exactness contract, parallel/tiles.py).
+#              Stored POST-divide (true uv units per pixel) — consumers
+#              must NOT divide by G_DEN.
 
 
 class GBuffer(NamedTuple):
@@ -652,6 +660,23 @@ def raster_resolve_packed(
                     chans.append(plane(P_COL + 3 * k))
                 chans.append(coef[P_MAT : P_MAT + 1, :])
                 chans.append((win >= 0).astype(jnp.float32))
+                # Analytic uv screen derivatives (quotient rule): with
+                # U = a_u*x + b_u*y + c_u (uv numerator plane) and
+                # Dn = a_d*x + b_d*y + c_d (1/w plane), u = U/Dn and
+                # du/dx = (a_u - u*a_d)/Dn. Same guard as the lighting
+                # pass's inv_den so no-hit pixels stay finite.
+                Dn = plane(P_DEN)
+                invd = jnp.where(jnp.abs(Dn) < 1e-30, 1.0, 1.0 / Dn)
+                a_d = coef[P_DEN : P_DEN + 1, :]
+                b_d = coef[P_DEN + 1 : P_DEN + 2, :]
+                for k in range(2):                       # du/dx, dv/dx
+                    off = P_UV0 + 3 * k
+                    uvv = plane(off) * invd
+                    chans.append((coef[off : off + 1, :] - uvv * a_d) * invd)
+                for k in range(2):                       # du/dy, dv/dy
+                    off = P_UV0 + 3 * k
+                    uvv = plane(off) * invd
+                    chans.append((coef[off + 1 : off + 2, :] - uvv * b_d) * invd)
                 while len(chans) < GB_CH:
                     chans.append(jnp.zeros((1, npb), jnp.float32))
                 out = jnp.concatenate(chans, axis=0)           # (GB_CH, npb)

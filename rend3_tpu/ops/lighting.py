@@ -2,9 +2,10 @@
 
 Pure image-space pass: perspective divide of the numerator G-buffer, material
 table lookup via one-hot matmul on the MXU (per-pixel gathers are ~20x
-slower than a one-hot contraction on TPU), uv gradients as screen-space
-finite differences (hardware quad-derivative equivalent), then the exact
-opaque.wgsl lighting math shared with the forward path (_shade_pixels)."""
+slower than a one-hot contraction on TPU), uv gradients read straight from
+the G-buffer's analytic-derivative channels (deferred.G_DUV — exact,
+per-pixel, band-invariant), then the exact opaque.wgsl lighting math shared
+with the forward path (_shade_pixels)."""
 
 from __future__ import annotations
 
@@ -45,11 +46,6 @@ def light_gbuffer(
     interpret: bool = False,
     debug_stop_tex: bool = False,   # profiling: return after texture sampling
     tex_queue_cap: int = None,      # adaptive sampler step-queue size
-    duv_rows=None,                  # (N, 2, 2) precomputed uv derivatives:
-    #                                 sparse pseudo-image G-buffers carry the
-    #                                 FULL-RES screen derivatives of their
-    #                                 source pixels (the pseudo-image's own
-    #                                 neighbors are unrelated pixels)
 ):
     """Returns (H, W, 4) linear HDR, or (img, tex_pair_overflow, qtotal)
     when the MXU texture sampler is active (active_tex_slots is not
@@ -83,14 +79,11 @@ def light_gbuffer(
     tex_qtotal = jnp.int32(0)
     if textures is not None:
         mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
-        if duv_rows is not None:
-            duv = duv_rows
-        else:
-            # Screen-space uv derivatives (quad-derivative equivalent).
-            uv_img = uv0.reshape(H, W, 2)
-            dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
-            dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
-            duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        # Analytic per-pixel uv screen derivatives from the raster finalize
+        # (deferred.G_DUV, post-divide — no inv_den here). Band-invariant:
+        # sparse pseudo-image G-buffers carry their source pixels' true
+        # derivatives for free (gathered with every other channel).
+        duv = g[D.G_DUV : D.G_DUV + 4].T.reshape(N, 2, 2)
         if active_tex_slots is not None:
             from . import texture as tex_ops
             from .shade import PBR_UVT0
@@ -236,10 +229,8 @@ def cutout_alpha_pass(
         from . import texture as tex_ops
 
         mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
-        uv_img = uv0.reshape(H, W, 2)
-        dx = jnp.diff(uv_img, axis=1, append=uv_img[:, -1:])
-        dy = jnp.diff(uv_img, axis=0, append=uv_img[-1:])
-        duv = jnp.stack([dx.reshape(N, 2), dy.reshape(N, 2)], axis=1)
+        # Analytic derivatives from the G-buffer (see light_gbuffer).
+        duv = g[D.G_DUV : D.G_DUV + 4].T.reshape(N, 2, 2)
         # Broadcast multiply-reduce, NOT einsum (see light_gbuffer).
         uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
         uvh = jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)

@@ -219,6 +219,63 @@ def _pair_step_tables(
     return step_tile, step_pid, step_flags, S, queue_need, total
 
 
+# Per-launch step ceiling: the three step tables are scalar-prefetched at
+# 12 B/step and walk off the ~1 MB SMEM cliff past ~85k steps; 48k = 576 KB
+# leaves headroom for Mosaic's own SMEM use (routine/base.py QUEUE_STEP_CEIL
+# mirrors this). Frames needing more steps DEGRADE to several launches
+# instead of refusing (ref suballoc.rs:164-214 grows, never refuses).
+QUEUE_STEPS_PER_LAUNCH = 49152
+
+
+def _pair_launch_plan(counts, pids2, bits2, nT, cap, queue_cap):
+    """Split the pair-step queue into launches whose scalar-prefetch tables
+    each fit under the SMEM ceiling.
+
+    queue_cap None or <= QUEUE_STEPS_PER_LAUNCH: one launch over all tiles
+    (the common case — identical tables to calling _pair_step_tables
+    directly). Past the ceiling, the screen tiles split into n contiguous
+    ranges (n = ceil(queue_cap / ceiling)), each with its own queue of
+    ceil(queue_cap / n) steps. A tile's ENTIRE pair list lives in exactly
+    one launch, so init semantics and output blocks stay tile-local and the
+    per-launch outputs simply concatenate. Unbalanced ranges are caught by
+    the reported step need (n * max per-launch total, see _plan_qtotal)
+    growing queue_cap through the host's normal adapt-and-re-render loop.
+
+    Returns ([(lo, hi, step_tile, step_pid, step_flags, S)], queue_need,
+    [per-launch totals])."""
+    if queue_cap is None or int(queue_cap) <= QUEUE_STEPS_PER_LAUNCH:
+        st, spid, sflags, S, qneed, total = _pair_step_tables(
+            counts, pids2.reshape(-1), bits2.reshape(-1), nT, cap,
+            queue_cap=queue_cap,
+        )
+        return [(0, nT, st, spid, sflags, S)], qneed, [total]
+    n = min(nT, _cdiv(int(queue_cap), QUEUE_STEPS_PER_LAUNCH))
+    per_launch = _cdiv(int(queue_cap), n)
+    tile_step = _cdiv(nT, n)
+    launches, totals = [], []
+    for k in range(n):
+        lo, hi = k * tile_step, min(nT, (k + 1) * tile_step)
+        if lo >= hi:
+            break
+        st, spid, sflags, S, _qn, tot = _pair_step_tables(
+            counts[lo:hi], pids2[lo:hi].reshape(-1), bits2[lo:hi].reshape(-1),
+            hi - lo, cap, queue_cap=per_launch,
+        )
+        launches.append((lo, hi, st, spid, sflags, S))
+        totals.append(tot)
+    return launches, jnp.int32(0), totals
+
+
+def _plan_qtotal(launches, totals):
+    """Step need to report for adaptive queue sizing: with one launch it is
+    the raw total (exact); with n launches it is n * max(per-launch total) —
+    a conservative bound that guarantees the NEXT queue_cap gives every
+    launch enough steps for its own range."""
+    if len(launches) == 1:
+        return totals[0]
+    return jnp.int32(len(launches)) * functools.reduce(jnp.maximum, totals)
+
+
 def sample_grid(
     img: jnp.ndarray,              # (Hs, Ws) f32 source grid
     bx: jnp.ndarray,               # (H, W) int32 base col per pixel
@@ -259,10 +316,10 @@ def sample_grid(
 
     cap = min(pair_cap, Gy * Gx)
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
-    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
-    bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
-        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    pids2 = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32)
+    bits2 = bits.astype(jnp.int32)
+    launches, qneed, totals = _pair_launch_plan(
+        counts, pids2, bits2, nT, cap, queue_cap
     )
     need = jnp.maximum(need, qneed)
 
@@ -340,25 +397,28 @@ def sample_grid(
                     cols += [jnp.zeros((1, npb), jnp.float32)] * (OL - n_off)
                     out_ref[0, :, sl] = out_ref[0, :, sl] + jnp.concatenate(cols, axis=0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, OL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nT, OL, npx), jnp.float32),
-        interpret=interpret,
-    )(st, spid, sflags, grid.tiles, coords)
+    outs = []
+    for (lo, hi, st, spid, sflags, S) in launches:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+                pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, OL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((hi - lo, OL, npx), jnp.float32),
+            interpret=interpret,
+        )(st, spid, sflags, grid.tiles, coords[lo:hi]))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     out = out[:, :n_off].reshape(n_rows, n_cols, n_off, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(n_off, H, W)
-    return out, need, qtotal
+    return out, need, _plan_qtotal(launches, totals)
 
 
 def sample_grid_pcf5(
@@ -420,10 +480,10 @@ def sample_grid_pcf5(
 
     cap = min(pair_cap, Gy * Gx)
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
-    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
-    bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
-        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    pids2 = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32)
+    bits2 = bits.astype(jnp.int32)
+    launches, qneed, totals = _pair_launch_plan(
+        counts, pids2, bits2, nT, cap, queue_cap
     )
     need = jnp.maximum(need, qneed)
 
@@ -516,26 +576,29 @@ def sample_grid_pcf5(
                         pcf = total * (0.2 * own_f)
                         out_ref[0, 0, sl] = out_ref[0, 0, sl] + pcf[0]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-            pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nT, 8, npx), jnp.float32),
-        interpret=interpret,
-    )(st, spid, sflags, grid.tiles, coords, fracs)
+    outs = []
+    for (lo, hi, st, spid, sflags, S) in launches:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, R, STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+                pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+                pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((hi - lo, 8, npx), jnp.float32),
+            interpret=interpret,
+        )(st, spid, sflags, grid.tiles, coords[lo:hi], fracs[lo:hi]))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     out = out[:, 0].reshape(n_rows, n_cols, STILE_H, STILE_W)
     out = out.transpose(0, 2, 1, 3).reshape(H, W)
-    return out, need, qtotal
+    return out, need, _plan_qtotal(launches, totals)
 
 
 def _build_grid_tiles_multi(planes: jnp.ndarray, hlo: int, hhi: int):
@@ -640,10 +703,10 @@ def sample_grid_bilinear(
 
     cap = min(pair_cap, Gy * Gx)
     ids, counts, bits, need = pair_lists(bx, by, valid, Gy, Gx, cap)
-    pids = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32).reshape(-1)
-    bits = bits.astype(jnp.int32).reshape(-1)
-    st, spid, sflags, S, qneed, qtotal = _pair_step_tables(
-        counts, pids, bits, nT, cap, queue_cap=queue_cap
+    pids2 = jnp.clip(ids, 0, Gy * Gx - 1).astype(jnp.int32)
+    bits2 = bits.astype(jnp.int32)
+    launches, qneed, totals = _pair_launch_plan(
+        counts, pids2, bits2, nT, cap, queue_cap
     )
     need = jnp.maximum(need, qneed)
 
@@ -729,23 +792,26 @@ def sample_grid_bilinear(
                         val = (ohx * rc).sum(axis=0, keepdims=True)  # (1, npb)
                         out_ref[0, c, sl] = out_ref[0, c, sl] + val[0]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, R, C * STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
-            pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-            pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, CL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nT, CL, npx), jnp.float32),
-        interpret=interpret,
-    )(st, spid, sflags, grid.tiles, coords, fracs)
+    outs = []
+    for (lo, hi, st, spid, sflags, S) in launches:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # step_tile, step_pid, step_flags (all S-sized)
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, R, C * STILE_W), lambda s, st, sp, sf: (sp[s], 0, 0)),
+                pl.BlockSpec((1, 2, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+                pl.BlockSpec((1, 3, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, CL, npx), lambda s, st, sp, sf: (st[s], 0, 0)),
+        )
+        outs.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((hi - lo, CL, npx), jnp.float32),
+            interpret=interpret,
+        )(st, spid, sflags, grid.tiles, coords[lo:hi], fracs[lo:hi]))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     out = out[:, :C].reshape(n_rows, n_cols, C, STILE_H, STILE_W)
     out = out.transpose(2, 0, 3, 1, 4).reshape(C, H, W)
-    return out, need, qtotal
+    return out, need, _plan_qtotal(launches, totals)

@@ -209,7 +209,13 @@ def build_cube_array(textures: Dict[int, object]) -> Optional[CubeArrays]:
     planes = jnp.moveaxis(
         jax.device_put(grid.reshape((n_slots + 1) * 6 * P, P, 4)), -1, 0
     )
-    tiles = jax.jit(mg.build_bilinear_tiles)(planes)
+    # bf16-at-rest, like the 2D atlas (core/managers/texture.py): the gather
+    # kernel casts tile rows to TEX_DOT_DTYPE before its dot anyway, so
+    # pre-casting the whole store at upload halves the dominant per-step
+    # tile-block DMA instead of re-casting multi-MB tiles in every frame.
+    tiles = jax.jit(
+        lambda p: mg.build_bilinear_tiles(p).astype(TEX_DOT_DTYPE)
+    )(planes)
     return CubeArrays(
         faces=jax.device_put(faces),
         sizes=jax.device_put(sizes),
@@ -287,7 +293,7 @@ def sample_cube_grid(
         cube.grid_planes, cat(q_bx), cat(q_by), cat(q_fx), cat(q_fy),
         cat(q_wt), cat(q_valid),
         pair_cap=pair_cap, interpret=interpret, tiles=cube.grid_tiles,
-        queue_cap=queue_cap,
+        queue_cap=queue_cap, dot_dtype=TEX_DOT_DTYPE,
     )
     out = out.reshape(4, len(dirs_list), H, W)
     return (

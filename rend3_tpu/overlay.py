@@ -63,15 +63,68 @@ class OverlayRoutine:
         """Composite paint jobs over frame ((H, W, 3/4) u8) in order."""
         frame = np.asarray(frame)
         H, W = frame.shape[:2]
-        out = jnp.asarray(frame[..., :3].astype(np.float32))
-
-        for job in jobs:
-            out = self._render_job(out, job, H, W)
-
+        out = self.composite(jnp.asarray(frame[..., :3].astype(np.float32)), jobs, H, W)
         res = np.asarray(jax.device_get(jnp.clip(jnp.rint(out), 0, 255))).astype(np.uint8)
         if frame.shape[-1] == 4:
             return np.concatenate([res, frame[..., 3:]], axis=-1)
         return res
+
+    def composite(self, out, jobs: List[PaintJob], H: int, W: int):
+        """Composite jobs in order over a float (H, W, 3) display-space image."""
+        for job in jobs:
+            out = self._render_job(out, job, H, W)
+        return out
+
+    def bake(self, jobs: List[PaintJob], width: int, height: int):
+        """Flatten jobs ONCE into (P, A): P (H, W, 3) f32 premultiplied
+        display-space color composited over a transparent canvas and
+        A (H, W, 1) f32 total coverage, such that `P + (1 - A) * dst`
+        equals compositing the jobs over dst in order (premultiplied-over
+        algebra; the iterative over-black composite IS the premultiplied
+        accumulation). A comes from a second composite with every vertex
+        color and texture texel whitened (rgb=255, alpha kept)."""
+        import dataclasses
+
+        zeros = jnp.zeros((height, width, 3), jnp.float32)
+        P = self.composite(zeros, jobs, height, width)
+        white = OverlayRoutine()
+        white._textures = {
+            tid: np.concatenate(
+                [np.full_like(t[..., :3], 255), t[..., 3:]], axis=-1
+            )
+            for tid, t in self._textures.items()
+        }
+        white._next = self._next
+        wjobs = []
+        for job in jobs:
+            wc = np.asarray(job.colors, np.uint8).copy()
+            wc[:, :3] = 255
+            wjobs.append(dataclasses.replace(job, colors=wc))
+        A = white.composite(zeros, wjobs, height, width)[..., :1] / 255.0
+        return P, A
+
+    def device_pass(self, jobs: List[PaintJob], width: int, height: int):
+        """Bake jobs and return a device pass for
+        BaseRenderGraph.register_pass: the overlay composites INSIDE the
+        jitted frame program (reference draws egui in the renderpass,
+        rend3-egui/src/lib.rs:52-94) instead of on the host after
+        device_get. The pass takes row0 (4-parameter form) so each chip
+        alpha-blits its own band's rows under multi-chip sharding. Static
+        UI only — rebaking means a new closure and a frame recompile; keep
+        per-frame dynamic UI on the host compositor."""
+        P, A = self.bake(jobs, width, height)
+        Pd = jnp.asarray(P)
+        Ad = jnp.asarray(A)
+
+        def overlay_pass(img, gbuf, uniforms, row0):
+            bh = img.shape[0]
+            Pb = jax.lax.dynamic_slice(Pd, (row0, 0, 0), (bh, width, 3))
+            Ab = jax.lax.dynamic_slice(Ad, (row0, 0, 0), (bh, width, 1))
+            rgb = img[..., :3].astype(jnp.float32)
+            out = jnp.clip(jnp.rint(Pb + (1.0 - Ab) * rgb), 0, 255).astype(jnp.uint8)
+            return jnp.concatenate([out, img[..., 3:]], axis=-1)
+
+        return overlay_pass
 
     # -- internals ----------------------------------------------------------
 

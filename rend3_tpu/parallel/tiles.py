@@ -10,10 +10,13 @@ coordinates as absolute full-target values (integer row offsets added
 before any float math), the sharded image is bit-identical to the
 single-chip render.
 
-Shadow maps are row-sharded the same way — each chip rasterizes a band of
-every map, then an all_gather over ICI reassembles the full map on every
-chip before the PCF resolve. Built on `jax.sharding.Mesh` + `shard_map`;
-XLA inserts the collectives.
+Shadow maps come from the cross-frame cached shadow program
+(routine/base.py _ensure_shadow_maps) and ride in with the replicated args —
+every chip holds the same maps and only the PCF *resolve* is band-sharded,
+so the single- and multi-chip shadow paths are literally the same code (and
+a static scene re-rasters nothing per frame on any chip). Built on
+`jax.sharding.Mesh` + `shard_map`; XLA inserts the collectives (the Hi-Z
+occluder all_gather rides ICI).
 """
 
 from __future__ import annotations
@@ -53,8 +56,8 @@ def build_tiled_frame_callable(
     band depths all-gathered into the full-target Hi-Z pyramid on every
     chip, so visibility verdicts match the single-chip program exactly),
     MSAA 1 & 4, cull -> binned raster -> G-buffer -> cutout peels ->
-    per-light shadow maps (row-sharded + all_gather) -> PCF resolve ->
-    textured lighting -> blend peels -> tonemap
+    PCF resolve over the replicated cached shadow maps -> textured
+    lighting -> blend peels -> tonemap
     (ref rend3-routine/src/base.rs:129-185).
 
     Returns (program, args); program(*args) -> (image, predicted_mask, aux)

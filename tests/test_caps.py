@@ -46,17 +46,22 @@ def test_capacity_ceiling_raises_typed_error():
     with pytest.raises(RenderCapacityError):
         graph._grow_caps(counts)
 
-    # Gather pair need past its ceiling.
+    # Gather pair need past the THEORETICAL per-tile maximum (4096 = one
+    # cell per pixel of a 32x128 tile): only reachable by a counter bug.
     counts = np.zeros(19, np.int64)
-    counts[5] = 1 << 12  # tex_pair need > 512 ceiling
+    counts[5] = 1 << 13  # tex_pair need beyond any real scene
     with pytest.raises(RenderCapacityError):
         graph._grow_caps(counts)
 
-    # Sampler queue need past the SMEM step ceiling.
+    # Sampler queue need past the per-launch SMEM ceiling must NOT raise:
+    # the samplers degrade to multiple launches (mxu_gather._pair_launch_plan)
+    # and the cap keeps growing (VERDICT r4 next-round #6).
+    graph._caps["q_tex"] = 1024  # first measurement adopts silently; pre-set
     counts = np.zeros(19, np.int64)
     counts[15] = QUEUE_STEP_CEIL + 1
-    with pytest.raises(RenderCapacityError):
-        graph._grow_caps(counts)
+    grew = graph._grow_caps(counts)
+    assert grew
+    assert graph._caps["q_tex"] > QUEUE_STEP_CEIL
 
     # Shadow-program growth mirrors the policy.
     counts = np.zeros(4, np.int64)
@@ -174,3 +179,62 @@ def test_one_shot_cap_growth_keeps_program_cache_small():
     assert not builds, "steady-state frame rebuilt a program"
     assert len(graph._program_cache) <= 2
     del keep, warm_caps
+
+
+def test_blend_peel_count_converges():
+    """Peel capacity tracks the true layer depth (VERDICT r4 weak #3): a
+    single visible glass quad must HOLD blend_peels == 2 — the r4 counter
+    accumulated hits across ALL peels so any blend pixel ratcheted the cap
+    2->4->8->16 inside one render_frame (three whole-frame recompiles, then
+    8x blend work forever). Five stacked panes must converge to the pow2
+    bucket of the needed count (5 layers -> 8) and then hold."""
+    from rend3_tpu.routine.pbr.material import (
+        AlbedoComponent, PbrMaterial, Transparency,
+    )
+    from rend3_tpu.types import (
+        Camera, Handedness, MeshBuilder, Object, Orthographic, StaticMeshKind,
+    )
+
+    runner = TestRunner()
+    r = runner.renderer
+    keep = [runner.add_directional_light(np.array([-1.0, -1.0, 1.0], np.float32))]
+    mat_bg = runner.add_lit_material([0.3, 0.3, 0.3, 1.0])
+    keep += [mat_bg, runner.plane(mat_bg, m3.rotation_x(-np.pi / 2))]
+
+    glass = r.add_material(PbrMaterial(
+        albedo=AlbedoComponent.new_value(np.array([0.4, 0.7, 0.9, 0.4], np.float32)),
+        transparency=Transparency.blend(),
+    ))
+    quad_v = np.array([[-1, 1, 0], [1, 1, 0], [1, -1, 0], [-1, -1, 0]], np.float32)
+    quad_i = np.array([0, 1, 2, 2, 3, 0], np.uint32)
+    quad = r.add_mesh(
+        MeshBuilder(quad_v, Handedness.LEFT).with_indices(quad_i).build()
+    )
+    keep += [glass, quad, r.add_object(Object(
+        mesh_kind=StaticMeshKind(quad), material=glass,
+        transform=m3.translation([0.0, 0.3, -0.5]) @ m3.scale(0.4),
+    ))]
+    runner.set_camera_data(Camera(
+        projection=Orthographic(size=np.array([2.5, 2.5, 5.0], np.float32)),
+        view=m3.look_at_lh([0.0, 1.0, -1.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+    ))
+    settings = FrameRenderSettings(size=64)
+    graph = runner.base_graph
+
+    img = runner.render_frame(settings)
+    assert img[..., :3].max() > 0
+    assert graph._caps.get("blend_peels", 2) == 2, graph._caps
+
+    # Four more panes stacked behind the first: 5 blend layers per pixel in
+    # the overlap. render_frame's internal loop must converge (grow is
+    # one-shot per measurement: 2 -> 4 -> 8, then need=5 holds at 8).
+    for i in range(1, 5):
+        keep.append(r.add_object(Object(
+            mesh_kind=StaticMeshKind(quad), material=glass,
+            transform=m3.translation([0.0, 0.3, -0.5 - 0.12 * i]) @ m3.scale(0.4),
+        )))
+    runner.render_frame(settings)
+    assert graph._caps["blend_peels"] == 8, graph._caps
+    runner.render_frame(settings)
+    assert graph._caps["blend_peels"] == 8, graph._caps
+    del keep

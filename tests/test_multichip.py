@@ -17,13 +17,14 @@ from rend3_tpu.parallel.tiles import build_tiled_frame_callable, device_mesh
 from rend3_tpu.routine.base import BaseRenderGraphSettings, FrameRenderTarget
 
 
-def _render_pair(runner, width, height, n_devices, settings=None, skybox_slot=None):
+def _render_pair(runner, width, height, n_devices, settings=None, skybox_slot=None,
+                 samples=1):
     """(tiled image, single-chip image) for the same eval_output + args."""
     settings = settings or BaseRenderGraphSettings()
     r = runner.renderer
     r.swap_instruction_buffers()
     eval_output = r.evaluate_instructions()
-    target = FrameRenderTarget(width, height, 1)
+    target = FrameRenderTarget(width, height, samples)
 
     tiled, args = build_tiled_frame_callable(
         runner.base_graph, eval_output, target, settings, skybox_slot,
@@ -135,3 +136,83 @@ def test_tiled_textured_cutout_blend_bit_exact():
     img4, img1 = _render_pair(runner, 128, 64, 4)
     assert img4[..., :3].max() > 0, "empty render"
     np.testing.assert_array_equal(img4, img1)
+
+
+def _mipmapped_perspective_scene():
+    """A mip-mapped textured ground plane receding under PERSPECTIVE — the
+    exact configuration the r4 suite lacked: mip selection depends on
+    screen-space uv derivatives, which must be identical whether the target
+    is rendered whole or as row bands (MULTICHIP_r04 regression: per-band
+    finite-difference gradients clamped dy at each band's last row)."""
+    from rend3_tpu.testing import TestRunner
+    from rend3_tpu.routine.pbr.material import AlbedoComponent, PbrMaterial
+    from rend3_tpu.types import (
+        Camera, MipmapCount, Perspective, Texture, TextureFormat,
+    )
+    from rend3_tpu.utils import math as m3
+
+    runner = TestRunner()
+    r = runner.renderer
+    keep = [runner.add_directional_light(np.array([-1.0, -1.0, 1.0], np.float32))]
+    rng = np.random.default_rng(7)
+    tex_data = (rng.random((64, 64, 4)) * 255).astype(np.uint8)
+    tex_data[..., 3] = 255
+    alb = r.add_texture_2d(Texture(
+        label="ground", data=tex_data, format=TextureFormat.RGBA8_UNORM_SRGB,
+        mip_count=MipmapCount.MAXIMUM,
+    ))
+    mat = r.add_material(PbrMaterial(albedo=AlbedoComponent.new_texture(alb)))
+    keep += [alb, mat, runner.plane(mat, m3.rotation_x(-np.pi / 2) @ m3.scale(4.0))]
+    runner.set_camera_data(Camera(
+        projection=Perspective(vfov=60.0, near=0.1),
+        view=m3.look_at_lh([1.5, 1.2, -2.5], [0.0, 0.3, 0.0], [0.0, 1.0, 0.0]),
+    ))
+    runner._keepalive = keep
+    return runner
+
+
+@pytest.mark.multichip
+def test_tiled_mipmapped_perspective_bit_exact():
+    """Band-boundary mip selection: 8-band render of the mip-mapped
+    perspective floor is bit-identical to the single-chip program. Guarded
+    by the analytic G_DUV derivative channels (ops/deferred.py) — exact and
+    band-invariant by construction (VERDICT r4 next-round #1a)."""
+    runner = _mipmapped_perspective_scene()
+    img8, img1 = _render_pair(runner, 64, 64, 8)
+    assert img8[..., :3].max() > 0, "empty render"
+    np.testing.assert_array_equal(img8, img1)
+
+
+@pytest.mark.multichip
+def test_tiled_msaa4_bit_exact():
+    """MSAA-4 through the band program vs the single-chip program — the
+    band path has accepted samples>1 since r4 but nothing validated it
+    (VERDICT r4 next-round #1b). Uses the mip+perspective scene so the
+    per-sample derivative channels are exercised too."""
+    runner = _mipmapped_perspective_scene()
+    img4, img1 = _render_pair(runner, 64, 64, 4, samples=4)
+    assert img4[..., :3].max() > 0, "empty render"
+    np.testing.assert_array_equal(img4, img1)
+
+
+@pytest.mark.multichip
+def test_same_program_twice_bit_stable():
+    """Determinism self-check (VERDICT r4 next-round #10): running the SAME
+    compiled frame program twice must be bit-identical — the invariant that
+    silently broke in r4 was only observable because band-vs-single was an
+    exactness gate; this pins run-to-run stability directly (reference
+    gates same-implementation scenes at FLIP Mean <= 0.0,
+    rend3-test/src/threshold.rs:22-46)."""
+    runner = _mipmapped_perspective_scene()
+    r = runner.renderer
+    r.swap_instruction_buffers()
+    eval_output = r.evaluate_instructions()
+    target = FrameRenderTarget(64, 64, 1)
+    program, args = runner.base_graph.build_frame_callable(
+        eval_output, target, BaseRenderGraphSettings(), None
+    )
+    img_a, _m, _a = program(*args)
+    img_b, _m, _a = program(*args)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(img_a)), np.asarray(jax.device_get(img_b))
+    )

@@ -107,6 +107,48 @@ def test_sample_grid_queue_cap_adoption_and_truncation():
     np.testing.assert_array_equal(np.asarray(exact), np.asarray(full))
 
 
+def test_sample_grid_multi_launch_matches_single():
+    """Past the per-launch SMEM step ceiling the sampler DEGRADES to
+    several launches over contiguous tile ranges instead of refusing the
+    frame (VERDICT r4 next-round #6; ref suballoc.rs grows, never refuses).
+    With the ceiling shrunk to force splitting, the converged result must
+    be bit-identical to the single-launch gather, reached through the same
+    report-need / grow / relaunch protocol the host controller runs."""
+    rng = np.random.default_rng(13)
+    H, W = 64, 256  # 4 screen tiles
+    Hs, Ws = 256, 256
+    img = rng.standard_normal((Hs, Ws)).astype(np.float32)
+    bx = rng.integers(0, Ws, size=(H, W)).astype(np.int32)
+    by = rng.integers(0, Hs, size=(H, W)).astype(np.int32)
+    valid = np.ones((H, W), bool)
+    offsets = ((0, 0),)
+    args = (
+        jnp.asarray(img), jnp.asarray(bx), jnp.asarray(by), jnp.asarray(valid),
+        offsets,
+    )
+
+    full, _need, qtotal = mg.sample_grid(*args, interpret=True)
+    total = int(qtotal)
+    assert total > 16
+
+    old_ceiling = mg.QUEUE_STEPS_PER_LAUNCH
+    mg.QUEUE_STEPS_PER_LAUNCH = max(8, total // 3)
+    try:
+        # The host loop: launch, and while the reported need exceeds the
+        # cap (an unbalanced tile range truncated), grow and relaunch.
+        cap = total
+        for _ in range(8):
+            split, _n, q = mg.sample_grid(*args, interpret=True, queue_cap=cap)
+            if int(q) <= cap:
+                break
+            cap = int(q) * 9 // 8
+        assert int(q) <= cap, "multi-launch queue sizing did not converge"
+        assert cap > mg.QUEUE_STEPS_PER_LAUNCH, "test failed to force a split"
+    finally:
+        mg.QUEUE_STEPS_PER_LAUNCH = old_ceiling
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(full))
+
+
 def test_sample_grid_bilinear_matches_reference():
     rng = np.random.default_rng(6)
     H, W = 32, 128

@@ -212,3 +212,30 @@ def test_injected_device_pass_runs_inside_frame():
     assert (img[:16, :16] == 255).all(), "injected pass did not run"
     assert not (img[32:, 32:] == 255).all()
     del keep
+
+def test_injected_hdr_pass_runs_pre_tonemap():
+    """stage='hdr' passes see the RESOLVED LINEAR image before the sRGB
+    OETF (VERDICT r4 next-round #9 — tone-dependent effects need the HDR
+    seam): writing a known linear value through the hook must come out as
+    exactly hdr_to_srgb_u8 of that value, which a post-tonemap pass cannot
+    produce (the OETF is non-linear)."""
+    import jax.numpy as jnp
+
+    from rend3_tpu.ops import blit as blit_ops
+
+    runner = TestRunner()
+    keep = _scene(runner)
+    runner.base_graph.register_routine(unlit_routine(FlatMaterial))
+
+    def hdr_patch(img, gbuf, uniforms):
+        patch = jnp.full((16, 16, img.shape[-1]), 0.5, img.dtype)
+        return img.at[:16, :16].set(patch)
+
+    runner.base_graph.register_pass(hdr_patch, stage="hdr")
+    img = runner.render_frame(FrameRenderSettings(size=128))
+    want = np.asarray(
+        blit_ops.hdr_to_srgb_u8(jnp.full((1, 1, 4), 0.5, jnp.float32))
+    )[0, 0]
+    np.testing.assert_array_equal(img[:16, :16], np.broadcast_to(want, (16, 16, 4)))
+    assert not (img[32:, 32:, :3] == want[:3]).all()
+    del keep

@@ -486,4 +486,7 @@ def test_sample_cube_grid_matches_scalar_sampler():
         cube, 1, [dirs_pad], (32, 128), None, interpret=True
     )
     got = np.asarray(got_list[0])[:2048]
-    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    # The grid store is bf16-at-rest in production (TEX_DOT_DTYPE, same as
+    # the 2D atlas) — tolerance follows the dot dtype like test_mxu_gather.
+    tol = 1e-5 if tex_ops.TEX_DOT_DTYPE == jnp.float32 else 6e-3
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
