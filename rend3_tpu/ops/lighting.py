@@ -31,6 +31,22 @@ def _onehot_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _onehot_lookup_p(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """PLANAR one-hot lookup: idx (N,), table (M, D) -> (D, N).
+
+    The one-hot rides (M, N) and the result keeps the pixel axis in the
+    128-lane minor dimension — the N-major variant materializes (N, D)
+    buffers whose D channels pad to 128 lanes (~4-32x HBM waste at 2M
+    pixels; the dominant r4 lighting-stage cost)."""
+    M = table.shape[0]
+    oh = jax.nn.one_hot(idx, M, dtype=jnp.float32, axis=0)  # (M, N)
+    return jax.lax.dot_general(
+        table.astype(jnp.float32), oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def light_gbuffer(
     gbuf: D.GBuffer,
     materials: PbrMaterialTable,
@@ -58,8 +74,11 @@ def light_gbuffer(
     den = g[D.G_DEN]
     inv_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
 
+    # Planar end-to-end: the G-buffer is already channels-first and
+    # _shade_pixels consumes channels-first rows; no (N, C) transpose ever
+    # materializes (each one costs a padded 128-lane copy at 2M pixels).
     def ch(off, n):
-        return (g[off : off + n] * inv_den[None]).T  # (N, n)
+        return g[off : off + n] * inv_den[None]  # (n, N)
 
     view_pos = ch(D.G_VP, 3)
     nrm = ch(D.G_NRM, 3)
@@ -69,8 +88,8 @@ def light_gbuffer(
 
     midx = jnp.round(g[D.G_MAT]).astype(jnp.int32)
     midx = jnp.clip(midx, 0, materials.data.shape[0] - 1)
-    mdata = _onehot_lookup(midx, materials.data)
-    mflags = jnp.round(_onehot_lookup(midx, materials.flags[:, None].astype(jnp.float32))[:, 0]).astype(jnp.int32)
+    mdata = _onehot_lookup_p(midx, materials.data)  # (D, N)
+    mflags = jnp.round(_onehot_lookup_p(midx, materials.flags[:, None].astype(jnp.float32))[0]).astype(jnp.int32)
 
     duv = None
     mtex = None
@@ -78,33 +97,34 @@ def light_gbuffer(
     tex_overflow = jnp.int32(0)
     tex_qtotal = jnp.int32(0)
     if textures is not None:
-        mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
+        mtex = jnp.round(_onehot_lookup_p(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)  # (NSLOT, N)
         # Analytic per-pixel uv screen derivatives from the raster finalize
         # (deferred.G_DUV, post-divide — no inv_den here). Band-invariant:
         # sparse pseudo-image G-buffers carry their source pixels' true
         # derivatives for free (gathered with every other channel).
-        duv = g[D.G_DUV : D.G_DUV + 4].T.reshape(N, 2, 2)
+        duv = g[D.G_DUV : D.G_DUV + 4]  # (4, N) planar
         if active_tex_slots is not None:
             from . import texture as tex_ops
             from .shade import PBR_UVT0
 
-            # Broadcast multiply-reduce, NOT einsum: a per-pixel batched
-            # (3,3)@(3,) einsum lowers to a catastrophically padded MXU op
-            # (~1-2 ms per 64k rows, deferred.py attribute_planes notes —
-            # tens of ms at full resolution; profiled as the bulk of the
-            # r4 lighting stage).
-            uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
-            uvh = jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
-            coords = (uvt0[:, :2, :] * uvh[:, None, :]).sum(-1)
+            # Unrolled per-channel multiply-add, NOT einsum: a per-pixel
+            # batched (3,3)@(3,) einsum lowers to a catastrophically padded
+            # MXU op (~1-2 ms per 64k rows, deferred.py attribute_planes
+            # notes — tens of ms at full resolution).
+            u, vv = uv0[0:1], uv0[1:2]
+            coords = jnp.concatenate([
+                mdata[PBR_UVT0 + 0:PBR_UVT0 + 1] * u + mdata[PBR_UVT0 + 1:PBR_UVT0 + 2] * vv + mdata[PBR_UVT0 + 2:PBR_UVT0 + 3],
+                mdata[PBR_UVT0 + 3:PBR_UVT0 + 4] * u + mdata[PBR_UVT0 + 4:PBR_UVT0 + 5] * vv + mdata[PBR_UVT0 + 5:PBR_UVT0 + 6],
+            ])  # (2, N)
             tex_samples, tex_overflow, tex_qtotal = tex_ops.sample_textures_grid(
                 textures, mtex, coords, duv, mflags, (H, W),
                 tuple(active_tex_slots),
                 pair_cap=tex_pair_cap, interpret=interpret, hit=hit,
-                queue_cap=tex_queue_cap,
+                queue_cap=tex_queue_cap, planar=True,
             )
             if debug_stop_tex:
                 dbg = sum(s for s in tex_samples if s is not None)
-                return dbg.reshape(H, W, 4), tex_overflow, tex_qtotal
+                return dbg.reshape(4, H, W), tex_overflow, tex_qtotal
 
     sv = shadow_values.reshape(shadow_values.shape[0], N) if shadow_values is not None else None
     out_rgb, out_a = _shade_pixels(
@@ -112,9 +132,9 @@ def light_gbuffer(
         dir_lights, point_lights, shadow_atlas, uniforms, shadow_values=sv,
         tex_samples=tex_samples,
     )
-    rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
-    rgba = jnp.where(hit[:, None], rgba, background.reshape(N, 4))
-    img = rgba.reshape(H, W, 4)
+    rgba = jnp.concatenate([out_rgb, out_a], axis=0)  # (4, N)
+    rgba = jnp.where(hit[None, :], rgba, background.reshape(N, 4).T)
+    img = rgba.reshape(4, H, W).transpose(1, 2, 0)
     if active_tex_slots is not None:
         return img, tex_overflow, tex_qtotal
     return img
@@ -209,18 +229,20 @@ def cutout_alpha_pass(
     den = g[D.G_DEN]
     inv_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, 1.0 / den)
 
+    # Planar (channels-first) like light_gbuffer: this pass runs once per
+    # cutout peel at full resolution, so N-major padding costs multiply.
     def ch(off, n):
-        return (g[off : off + n] * inv_den[None]).T
+        return g[off : off + n] * inv_den[None]  # (n, N)
 
     uv0 = ch(D.G_UV0, 2)
     vcol = ch(D.G_COL, 4)
     midx_raw = jnp.round(g[D.G_MAT]).astype(jnp.int32)
     midx = jnp.clip(midx_raw, 0, materials.data.shape[0] - 1)
-    mdata = _onehot_lookup(midx, materials.data)
+    mdata = _onehot_lookup_p(midx, materials.data)  # (D, N)
     mflags = jnp.round(
-        _onehot_lookup(midx, materials.flags[:, None].astype(jnp.float32))[:, 0]
+        _onehot_lookup_p(midx, materials.flags[:, None].astype(jnp.float32))[0]
     ).astype(jnp.int32)
-    cutoff = mdata[:, PBR_ALPHA_CUTOUT]
+    cutoff = mdata[PBR_ALPHA_CUTOUT]
 
     tex_a = None
     overflow = jnp.int32(0)
@@ -228,28 +250,32 @@ def cutout_alpha_pass(
     if textures is not None and TEX_ALBEDO in tuple(active_tex_slots):
         from . import texture as tex_ops
 
-        mtex = jnp.round(_onehot_lookup(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
+        mtex = jnp.round(_onehot_lookup_p(midx, materials.textures.astype(jnp.float32))).astype(jnp.int32)
         # Analytic derivatives from the G-buffer (see light_gbuffer).
-        duv = g[D.G_DUV : D.G_DUV + 4].T.reshape(N, 2, 2)
-        # Broadcast multiply-reduce, NOT einsum (see light_gbuffer).
-        uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
-        uvh = jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1)
-        coords = (uvt0[:, :2, :] * uvh[:, None, :]).sum(-1)
+        duv = g[D.G_DUV : D.G_DUV + 4]  # (4, N) planar
+        # Unrolled per-channel multiply-add, NOT einsum (see light_gbuffer).
+        u, vv = uv0[0:1], uv0[1:2]
+        coords = jnp.concatenate([
+            mdata[PBR_UVT0 + 0:PBR_UVT0 + 1] * u + mdata[PBR_UVT0 + 1:PBR_UVT0 + 2] * vv + mdata[PBR_UVT0 + 2:PBR_UVT0 + 3],
+            mdata[PBR_UVT0 + 3:PBR_UVT0 + 4] * u + mdata[PBR_UVT0 + 4:PBR_UVT0 + 5] * vv + mdata[PBR_UVT0 + 5:PBR_UVT0 + 6],
+        ])  # (2, N)
         samples, overflow, qtotal = tex_ops.sample_textures_grid(
             textures, mtex, coords, duv, mflags, (H, W), (TEX_ALBEDO,),
             pair_cap=tex_pair_cap, interpret=interpret,
-            hit=(g[D.G_HIT] > 0.0), queue_cap=tex_queue_cap,
+            hit=(g[D.G_HIT] > 0.0), queue_cap=tex_queue_cap, planar=True,
         )
-        tex_a = samples[TEX_ALBEDO][:, 3]
+        tex_a = samples[TEX_ALBEDO][3]
 
     alpha = albedo_alpha(mdata, mflags, vcol, tex_a)
     ok = (cutoff <= 0.0) | (alpha >= cutoff)
     if extras:
         from ..routine.registry import GBufferPixels
 
+        # Registered-routine API is N-major (public seam); convert at the
+        # boundary — extras are rare and never in the canonical hot frame.
         pixels = GBufferPixels(
-            view_pos=ch(D.G_VP, 3), nrm=ch(D.G_NRM, 3), tan=ch(D.G_TAN, 3),
-            uv0=uv0, uv1=ch(D.G_UV1, 2), vcol=vcol, hit=g[D.G_HIT] > 0.0,
+            view_pos=ch(D.G_VP, 3).T, nrm=ch(D.G_NRM, 3).T, tan=ch(D.G_TAN, 3).T,
+            uv0=uv0.T, uv1=ch(D.G_UV1, 2).T, vcol=vcol.T, hit=g[D.G_HIT] > 0.0,
         )
         for base, count, routine, data_d, flags_d in extras:
             sel = (midx_raw >= base) & (midx_raw < base + count)

@@ -151,6 +151,32 @@ def _saturate(v):
     return jnp.clip(v, 0.0, 1.0)
 
 
+# Planar (channels-first) helpers: per-pixel vectors are (C, N) with the
+# pixel axis minormost. On TPU the minor dimension is the 128-lane axis, so
+# an N-major (N, 3) array pads 3 -> 128 lanes (~42x wasted HBM bandwidth on
+# every materialized intermediate); planar rows keep every elementwise op
+# full-bandwidth. Channel reductions run along the 8-sublane axis (cheap).
+
+
+def _dot_p(a, b):
+    return (a * b).sum(axis=0, keepdims=True)  # (1, N)
+
+
+def _normalize_p(v):
+    n = jnp.sqrt((v * v).sum(axis=0, keepdims=True))
+    return v / jnp.where(n == 0.0, 1.0, n)
+
+
+def _cross_p(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # BRDF (reference: math/brdf.wgsl)
 # ---------------------------------------------------------------------------
@@ -173,16 +199,17 @@ def brdf_v_smith_ggx_correlated(nov, nol, a):
 
 
 def surface_shading(light_dir, intensity, normal, f0, roughness, diffuse_color, view_dir, occlusion):
-    """reference: opaque.wgsl surface_shading. All args (..., C)."""
+    """reference: opaque.wgsl surface_shading. All args planar: vectors
+    (3, N), scalars (1, N); see _shade_pixels for the layout rationale."""
     n = normal
-    h = _normalize(view_dir + light_dir)
+    h = _normalize_p(view_dir + light_dir)
 
-    nov = jnp.abs(_dot(n, view_dir)) + 0.00001
-    nol = _saturate(_dot(n, light_dir))
-    noh = _saturate(_dot(n, h))
-    loh = _saturate(_dot(light_dir, h))
+    nov = jnp.abs(_dot_p(n, view_dir)) + 0.00001
+    nol = _saturate(_dot_p(n, light_dir))
+    noh = _saturate(_dot_p(n, h))
+    loh = _saturate(_dot_p(light_dir, h))
 
-    f90 = _saturate((f0 * (50.0 * 0.33)).sum(axis=-1, keepdims=True))
+    f90 = _saturate((f0 * (50.0 * 0.33)).sum(axis=0, keepdims=True))
 
     d = brdf_d_ggx(noh, roughness)
     f = brdf_f_schlick(loh, f0, f90)
@@ -365,12 +392,17 @@ def shade_deferred(
     mflags = materials.flags[midx]    # (N,)
     mtex = materials.textures[midx] if textures is not None else None
 
+    # _shade_pixels is planar (channels-first); this forward path gathers
+    # N-major, so convert at the boundary (not the hot path — the frame
+    # program lights planar G-buffers via lighting.light_gbuffer).
     out_rgb, out_a = _shade_pixels(
-        mdata, mflags, mtex, textures, uv0, duv, vcol, nrm, tan, view_pos,
+        mdata.T, mflags, None if mtex is None else mtex.T, textures,
+        uv0.T, None if duv is None else duv.reshape(N, 4).T, vcol.T,
+        nrm.T, tan.T, view_pos.T,
         dir_lights, point_lights, shadow_atlas, uniforms,
     )
 
-    rgba = jnp.concatenate([out_rgb, out_a], axis=-1)
+    rgba = jnp.concatenate([out_rgb, out_a], axis=0).T
     if background is None:
         bg = jnp.zeros((N, 4), jnp.float32)
     else:
@@ -413,135 +445,154 @@ def _shade_pixels(
     dir_lights: DirLightArrays, point_lights: PointLightArrays,
     shadow_atlas, uniforms: FrameUniformsArrays,
     shadow_values=None,  # optional (L, N) precomputed shadow factors
-    tex_samples=None,    # optional precomputed per-slot samples (list of (N,4)/None)
+    tex_samples=None,    # optional precomputed per-slot samples (list of (4,N)/None)
 ):
-    """The get_pixel_data + lighting-loop body over flat (N,) pixels."""
-    N = mdata.shape[0]
+    """The get_pixel_data + lighting-loop body, PLANAR over N pixels.
 
-    uvt0 = mdata[:, PBR_UVT0:PBR_UVT0 + 9].reshape(N, 3, 3)
-    coords = jnp.einsum("nab,nb->na", uvt0, jnp.concatenate([uv0, jnp.ones((N, 1))], axis=-1))[:, :2]
+    Every per-pixel array is channels-first with the pixel axis minormost
+    (the TPU 128-lane dimension): mdata (D, N), mtex (NSLOT, N), uv0 (2, N),
+    duv (4, N) rows [du/dx, dv/dx, du/dy, dv/dy], vcol (4, N),
+    nrm/tan/view_pos (3, N), mflags (N,), shadow_values (L, N), tex_samples
+    list of (4, N). Returns ((3, N) rgb, (1, N) alpha). N-major (N, C)
+    layouts pad C -> 128 lanes on TPU (~32x wasted HBM traffic per
+    materialized intermediate); profiled as the bulk of the r4 light stage.
+    """
+    N = mdata.shape[1]
 
-    def sample(slot, srgb=False, default=1.0):
+    def fl(bit):
+        return _flag(mflags, bit)[None, :]  # (1, N)
+
+    # uv transform: coords = (uvt0 @ [u, v, 1])[:2], unrolled per channel.
+    u, vv = uv0[0:1], uv0[1:2]
+    coords = jnp.concatenate(
+        [
+            mdata[PBR_UVT0 + 0 : PBR_UVT0 + 1] * u + mdata[PBR_UVT0 + 1 : PBR_UVT0 + 2] * vv + mdata[PBR_UVT0 + 2 : PBR_UVT0 + 3],
+            mdata[PBR_UVT0 + 3 : PBR_UVT0 + 4] * u + mdata[PBR_UVT0 + 4 : PBR_UVT0 + 5] * vv + mdata[PBR_UVT0 + 5 : PBR_UVT0 + 6],
+        ]
+    )  # (2, N)
+
+    def sample(slot):
         if tex_samples is not None:
             # Inactive slots behave like the old path's unbound slots: a
             # constant white texture (their has_* masks are all-false anyway).
             s = tex_samples[slot]
-            return s if s is not None else jnp.ones((N, 4), jnp.float32)
+            return s if s is not None else jnp.ones((4, N), jnp.float32)
         if textures is None or mtex is None:
             return None
         from . import texture as tex_ops
-        return tex_ops.sample_textures(textures, mtex[:, slot], coords, duv, mflags)
+        duv_nm = None if duv is None else duv.T.reshape(N, 2, 2)
+        return tex_ops.sample_textures(textures, mtex[slot], coords.T, duv_nm, mflags).T
 
     # --- albedo (opaque.wgsl get_pixel_data_inner) ---
-    albedo = jnp.ones((N, 4), jnp.float32)
+    albedo = jnp.ones((4, N), jnp.float32)
     tex_albedo = sample(TEX_ALBEDO)
     if tex_albedo is not None:
-        has_tex = (mtex[:, TEX_ALBEDO] != 0)[:, None]
+        has_tex = (mtex[TEX_ALBEDO] != 0)[None, :]
         albedo = jnp.where(has_tex, tex_albedo, albedo)
     blend_col = jnp.where(
-        _flag(mflags, MF.ALBEDO_VERTEX_SRGB)[:, None],
-        jnp.concatenate([srgb_display_to_scene(vcol[:, :3]), vcol[:, 3:]], axis=-1),
+        fl(MF.ALBEDO_VERTEX_SRGB),
+        jnp.concatenate([srgb_display_to_scene(vcol[:3]), vcol[3:]], axis=0),
         vcol,
     )
-    albedo = jnp.where(_flag(mflags, MF.ALBEDO_BLEND)[:, None], albedo * blend_col, albedo)
+    albedo = jnp.where(fl(MF.ALBEDO_BLEND), albedo * blend_col, albedo)
     albedo = jnp.where(
-        _flag(mflags, MF.ALBEDO_ACTIVE)[:, None],
+        fl(MF.ALBEDO_ACTIVE),
         albedo,
-        jnp.array([0.0, 0.0, 0.0, 1.0]),
+        jnp.array([0.0, 0.0, 0.0, 1.0])[:, None],
     )
-    albedo = albedo * mdata[:, PBR_ALBEDO:PBR_ALBEDO + 4]
+    albedo = albedo * mdata[PBR_ALBEDO:PBR_ALBEDO + 4]
 
     # --- normals ---
-    normal = _normalize(nrm)
+    normal = _normalize_p(nrm)
     tex_normal = sample(TEX_NORMAL)
     if tex_normal is not None:
-        has_tex = mtex[:, TEX_NORMAL] != 0
+        has_tex = (mtex[TEX_NORMAL] != 0)[None, :]
         bicomp2 = jnp.where(
-            _flag(mflags, MF.SWIZZLED_NORMAL)[:, None],
-            jnp.stack([tex_normal[:, 3], tex_normal[:, 1]], axis=-1),
-            tex_normal[:, :2],
+            fl(MF.SWIZZLED_NORMAL),
+            jnp.concatenate([tex_normal[3:4], tex_normal[1:2]], axis=0),
+            tex_normal[:2],
         ) * 2.0 - 1.0
-        bz = jnp.sqrt(jnp.maximum(1.0 - (bicomp2 ** 2).sum(-1, keepdims=True), 0.0))
-        n_bi = jnp.concatenate([bicomp2, bz], axis=-1)
-        n_tri = _normalize(tex_normal[:, :3] * 2.0 - 1.0)
-        n_tex = jnp.where(_flag(mflags, MF.BICOMPONENT_NORMAL)[:, None], n_bi, n_tri)
+        bz = jnp.sqrt(jnp.maximum(1.0 - (bicomp2 ** 2).sum(0, keepdims=True), 0.0))
+        n_bi = jnp.concatenate([bicomp2, bz], axis=0)
+        n_tri = _normalize_p(tex_normal[:3] * 2.0 - 1.0)
+        n_tex = jnp.where(fl(MF.BICOMPONENT_NORMAL), n_bi, n_tri)
         n_tex = n_tex * jnp.where(
-            _flag(mflags, MF.YDOWN_NORMAL)[:, None], jnp.array([1.0, -1.0, 1.0]), jnp.ones(3)
+            fl(MF.YDOWN_NORMAL), jnp.array([1.0, -1.0, 1.0])[:, None], jnp.ones((3, 1))
         )
-        t_norm = _normalize(tan)
-        bitangent = jnp.cross(normal, t_norm)
+        t_norm = _normalize_p(tan)
+        bitangent = _cross_p(normal, t_norm)
         mapped = (
-            t_norm * n_tex[:, 0:1] + bitangent * n_tex[:, 1:2] + normal * n_tex[:, 2:3]
+            t_norm * n_tex[0:1] + bitangent * n_tex[1:2] + normal * n_tex[2:3]
         )
-        normal = jnp.where(has_tex[:, None], _normalize(mapped), normal)
+        normal = jnp.where(has_tex, _normalize_p(mapped), normal)
 
     # --- AO / metallic / roughness (three packing modes) ---
-    base_ao = mdata[:, PBR_AMBIENT_OCCLUSION:PBR_AMBIENT_OCCLUSION + 1]
-    base_rough = mdata[:, PBR_ROUGHNESS:PBR_ROUGHNESS + 1]
-    base_metal = mdata[:, PBR_METALLIC:PBR_METALLIC + 1]
+    base_ao = mdata[PBR_AMBIENT_OCCLUSION:PBR_AMBIENT_OCCLUSION + 1]
+    base_rough = mdata[PBR_ROUGHNESS:PBR_ROUGHNESS + 1]
+    base_metal = mdata[PBR_METALLIC:PBR_METALLIC + 1]
     ao, rough, metal = base_ao, base_rough, base_metal
     tex_rough = sample(TEX_ROUGHNESS)
     tex_metal = sample(TEX_METALLIC)
     tex_ao = sample(TEX_AO)
     if tex_rough is not None:
-        has_r = (mtex[:, TEX_ROUGHNESS] != 0)[:, None]
-        has_m = (mtex[:, TEX_METALLIC] != 0)[:, None]
-        has_a = (mtex[:, TEX_AO] != 0)[:, None]
-        combined = _flag(mflags, MF.AOMR_COMBINED)[:, None]
-        bw_split = _flag(mflags, MF.AOMR_BW_SPLIT)[:, None]
-        swz = _flag(mflags, MF.AOMR_SWIZZLED_SPLIT)[:, None]
+        has_r = (mtex[TEX_ROUGHNESS] != 0)[None, :]
+        has_m = (mtex[TEX_METALLIC] != 0)[None, :]
+        has_a = (mtex[TEX_AO] != 0)[None, :]
+        combined = fl(MF.AOMR_COMBINED)
+        bw_split = fl(MF.AOMR_BW_SPLIT)
+        swz = fl(MF.AOMR_SWIZZLED_SPLIT)
         # combined: aomr = rough_tex; ao=r, rough=g, metal=b
-        ao_c = jnp.where(has_r, base_ao * tex_rough[:, 0:1], base_ao)
-        ro_c = jnp.where(has_r, base_rough * tex_rough[:, 1:2], base_rough)
-        me_c = jnp.where(has_r, base_metal * tex_rough[:, 2:3], base_metal)
+        ao_c = jnp.where(has_r, base_ao * tex_rough[0:1], base_ao)
+        ro_c = jnp.where(has_r, base_rough * tex_rough[1:2], base_rough)
+        me_c = jnp.where(has_r, base_metal * tex_rough[2:3], base_metal)
         # bw split: each from own texture's r
-        ro_b = jnp.where(has_r, base_rough * tex_rough[:, 0:1], base_rough)
-        me_b = jnp.where(has_m, base_metal * tex_metal[:, 0:1], base_metal)
-        ao_b = jnp.where(has_a, base_ao * tex_ao[:, 0:1], base_ao)
+        ro_b = jnp.where(has_r, base_rough * tex_rough[0:1], base_rough)
+        me_b = jnp.where(has_m, base_metal * tex_metal[0:1], base_metal)
+        ao_b = jnp.where(has_a, base_ao * tex_ao[0:1], base_ao)
         # split / swizzled split: rm from rough tex rg or gb; ao from ao tex r
-        rm_r = jnp.where(swz, tex_rough[:, 1:2], tex_rough[:, 0:1])
-        rm_m = jnp.where(swz, tex_rough[:, 2:3], tex_rough[:, 1:2])
+        rm_r = jnp.where(swz, tex_rough[1:2], tex_rough[0:1])
+        rm_m = jnp.where(swz, tex_rough[2:3], tex_rough[1:2])
         ro_s = jnp.where(has_r, base_rough * rm_r, base_rough)
         me_s = jnp.where(has_r, base_metal * rm_m, base_metal)
-        ao_s = jnp.where(has_a, base_ao * tex_ao[:, 0:1], base_ao)
+        ao_s = jnp.where(has_a, base_ao * tex_ao[0:1], base_ao)
         ao = jnp.where(combined, ao_c, jnp.where(bw_split, ao_b, ao_s))
         rough = jnp.where(combined, ro_c, jnp.where(bw_split, ro_b, ro_s))
         metal = jnp.where(combined, me_c, jnp.where(bw_split, me_b, me_s))
 
     # --- reflectance / clearcoat / emissive ---
-    reflectance = mdata[:, PBR_REFLECTANCE:PBR_REFLECTANCE + 1]
+    reflectance = mdata[PBR_REFLECTANCE:PBR_REFLECTANCE + 1]
     tex_refl = sample(TEX_REFLECTANCE)
     if tex_refl is not None:
-        has_t = (mtex[:, TEX_REFLECTANCE] != 0)[:, None]
-        reflectance = jnp.where(has_t, reflectance * tex_refl[:, 0:1], reflectance)
+        has_t = (mtex[TEX_REFLECTANCE] != 0)[None, :]
+        reflectance = jnp.where(has_t, reflectance * tex_refl[0:1], reflectance)
 
-    clear_coat = mdata[:, PBR_CLEAR_COAT:PBR_CLEAR_COAT + 1]
-    cc_rough = mdata[:, PBR_CLEAR_COAT_ROUGHNESS:PBR_CLEAR_COAT_ROUGHNESS + 1]
+    clear_coat = mdata[PBR_CLEAR_COAT:PBR_CLEAR_COAT + 1]
+    cc_rough = mdata[PBR_CLEAR_COAT_ROUGHNESS:PBR_CLEAR_COAT_ROUGHNESS + 1]
     tex_cc = sample(TEX_CLEAR_COAT)
     tex_ccr = sample(TEX_CLEAR_COAT_ROUGHNESS)
     if tex_cc is not None:
-        has_cc = (mtex[:, TEX_CLEAR_COAT] != 0)[:, None]
-        has_ccr = (mtex[:, TEX_CLEAR_COAT_ROUGHNESS] != 0)[:, None]
-        gltf_combined = _flag(mflags, MF.CC_GLTF_COMBINED)[:, None]
-        gltf_split = _flag(mflags, MF.CC_GLTF_SPLIT)[:, None]
-        cc_comb = jnp.where(has_cc, clear_coat * tex_cc[:, 0:1], clear_coat)
-        ccr_comb = jnp.where(has_cc, cc_rough * tex_cc[:, 1:2], cc_rough)
-        cc_sep = jnp.where(has_cc, clear_coat * tex_cc[:, 0:1], clear_coat)
-        ccr_src = jnp.where(gltf_split, tex_ccr[:, 1:2], tex_ccr[:, 0:1])
+        has_cc = (mtex[TEX_CLEAR_COAT] != 0)[None, :]
+        has_ccr = (mtex[TEX_CLEAR_COAT_ROUGHNESS] != 0)[None, :]
+        gltf_combined = fl(MF.CC_GLTF_COMBINED)
+        gltf_split = fl(MF.CC_GLTF_SPLIT)
+        cc_comb = jnp.where(has_cc, clear_coat * tex_cc[0:1], clear_coat)
+        ccr_comb = jnp.where(has_cc, cc_rough * tex_cc[1:2], cc_rough)
+        cc_sep = jnp.where(has_cc, clear_coat * tex_cc[0:1], clear_coat)
+        ccr_src = jnp.where(gltf_split, tex_ccr[1:2], tex_ccr[0:1])
         ccr_sep = jnp.where(has_ccr, cc_rough * ccr_src, cc_rough)
         clear_coat = jnp.where(gltf_combined, cc_comb, cc_sep)
         cc_rough = jnp.where(gltf_combined, ccr_comb, ccr_sep)
 
-    emissive = mdata[:, PBR_EMISSIVE:PBR_EMISSIVE + 3]
+    emissive = mdata[PBR_EMISSIVE:PBR_EMISSIVE + 3]
     tex_emis = sample(TEX_EMISSIVE)
     if tex_emis is not None:
-        has_t = (mtex[:, TEX_EMISSIVE] != 0)[:, None]
-        emissive = jnp.where(has_t, emissive * tex_emis[:, :3], emissive)
+        has_t = (mtex[TEX_EMISSIVE] != 0)[None, :]
+        emissive = jnp.where(has_t, emissive * tex_emis[:3], emissive)
 
     # --- derived quantities ---
-    diffuse_color = albedo[:, :3] * (1.0 - metal)
+    diffuse_color = albedo[:3] * (1.0 - metal)
     dielectric_f0 = 0.16 * reflectance * reflectance
-    f0 = albedo[:, :3] * metal + dielectric_f0 * (1.0 - metal)
+    f0 = albedo[:3] * metal + dielectric_f0 * (1.0 - metal)
 
     has_cc_f = clear_coat != 0.0
     base_pr = jnp.maximum(rough, cc_rough)
@@ -549,51 +600,62 @@ def _shade_pixels(
     roughness = rough * rough
 
     # --- lighting ---
-    v = -_normalize(view_pos)
+    v = -_normalize_p(view_pos)
     view3 = uniforms.view[:3, :3]
 
     if _DEBUG_STOP == "pixdata":
         # Keep every pixel-data product live so the prefix timing covers it.
         dbg = (
-            albedo[:, :3] * roughness + f0 + diffuse_color
+            albedo[:3] * roughness + f0 + diffuse_color
             + normal + emissive + (ao + clear_coat + cc_rough) * v
         )
-        return dbg, albedo[:, 3:4]
+        return dbg, albedo[3:4]
 
     color = emissive
     # Directional lights with shadows. Static loop over capacity; masked.
     L = dir_lights.mask.shape[0]
-    view_pos4 = jnp.concatenate([view_pos, jnp.ones((N, 1))], axis=-1)
-    world_pos4 = view_pos4 @ uniforms.inv_view.T
+    iv = uniforms.inv_view
+    world = jnp.stack(
+        [
+            iv[a, 0] * view_pos[0] + iv[a, 1] * view_pos[1] + iv[a, 2] * view_pos[2] + iv[a, 3]
+            for a in range(3)
+        ]
+    )  # (3, N)
     for i in range(L):
         if shadow_values is not None:
-            shadow_value = shadow_values[i][:, None]
+            shadow_value = shadow_values[i][None, :]
         else:
             vp = dir_lights.view_proj[i]
-            shadow_ndc = (world_pos4 @ vp.T)[:, :3]
-            shadow_flipped = shadow_ndc[:, :2] * 0.5 + 0.5
-            shadow_local = jnp.stack([shadow_flipped[:, 0], 1.0 - shadow_flipped[:, 1]], axis=-1)
+            ndc = [
+                vp[a, 0] * world[0] + vp[a, 1] * world[1] + vp[a, 2] * world[2] + vp[a, 3]
+                for a in range(3)
+            ]
+            flipped_x = ndc[0] * 0.5 + 0.5
+            flipped_y = ndc[1] * 0.5 + 0.5
 
             top_left = dir_lights.atlas_offset[i]
-            top_right = top_left + dir_lights.atlas_size[i]
-            shadow_coords = top_left + (top_right - top_left) * shadow_local
+            size = dir_lights.atlas_size[i]
+            sc_u = top_left[0] + size[0] * flipped_x
+            sc_v = top_left[1] + size[1] * (1.0 - flipped_y)
             border = dir_lights.inv_resolution[i] * 1.5
             tl_b = top_left + border
-            tr_b = top_right - border
+            tr_b = top_left + size - border
 
             # NOTE: reference uses any() here, reproduced for parity (opaque.wgsl).
             in_bounds = (
-                (shadow_flipped >= tl_b[None]).any(axis=-1)
-                & (shadow_flipped <= tr_b[None]).any(axis=-1)
-                & (shadow_ndc[:, 2] >= 0.0)
-                & (shadow_ndc[:, 2] <= 1.0)
+                ((flipped_x >= tl_b[0]) | (flipped_y >= tl_b[1]))
+                & ((flipped_x <= tr_b[0]) | (flipped_y <= tr_b[1]))
+                & (ndc[2] >= 0.0)
+                & (ndc[2] <= 1.0)
             )
-            pcf = shadow_sample_pcf5(shadow_atlas, shadow_coords, shadow_ndc[:, 2])
-            shadow_value = jnp.where(in_bounds, pcf, 1.0)[:, None]
+            pcf = shadow_sample_pcf5(
+                shadow_atlas, jnp.stack([sc_u, sc_v], axis=-1), ndc[2]
+            )
+            shadow_value = jnp.where(in_bounds, pcf, 1.0)[None, :]
 
-        l = _normalize((view3 @ (-dir_lights.direction[i]))[None, :])
+        l = _normalize((view3 @ (-dir_lights.direction[i]))[None, :])[0]
         contrib = surface_shading(
-            jnp.broadcast_to(l, view_pos.shape), dir_lights.color[i][None],
+            jnp.broadcast_to(l[:, None], view_pos.shape), dir_lights.color[i][:, None],
             normal, f0, roughness, diffuse_color, v, shadow_value * ao,
         )
         # GPU max() semantics drop the NaN produced by the Smith visibility
@@ -602,7 +664,7 @@ def _shade_pixels(
         color = color + jnp.where(dir_lights.mask[i], contrib, 0.0)
 
     if _DEBUG_STOP == "dir":
-        return color, albedo[:, 3:4]
+        return color, albedo[3:4]
 
     # Point lights: one compiled lax.scan step per light (the reference
     # shades an arbitrary-length light array in a shader loop,
@@ -610,13 +672,13 @@ def _shade_pixels(
     def point_body(acc, light):
         pos, col, radius, mask = light
         lp4 = jnp.concatenate([pos, jnp.ones(1)])
-        delta = (uniforms.view @ lp4)[:3][None] - view_pos
-        d = jnp.sqrt((delta * delta).sum(-1, keepdims=True))
+        delta = (uniforms.view @ lp4)[:3][:, None] - view_pos  # (3, N)
+        d = jnp.sqrt((delta * delta).sum(0, keepdims=True))
         s = _saturate(d / radius)
         s2 = s * s
         inv_s2 = 1.0 - s2
         att = inv_s2 * inv_s2 / (1.0 + s2)
-        intensity = col[None] * att
+        intensity = col[:, None] * att
         l = delta / jnp.where(d == 0.0, 1.0, d)
         contrib = surface_shading(l, intensity, normal, f0, roughness, diffuse_color, v, ao)
         # reference: max(contrib, 0) — wgsl max() also swallows NaN.
@@ -630,16 +692,16 @@ def _shade_pixels(
             (point_lights.position, point_lights.color, point_lights.radius, point_lights.mask),
         )
 
-    ambient = uniforms.ambient[None] * albedo
+    ambient = uniforms.ambient[:, None] * albedo
     shaded_rgb = color
-    shaded_a = albedo[:, 3:4]
+    shaded_a = albedo[3:4]
 
-    lit_rgb = jnp.maximum(ambient[:, :3], shaded_rgb)
-    lit_a = jnp.maximum(ambient[:, 3:4], shaded_a)
+    lit_rgb = jnp.maximum(ambient[:3], shaded_rgb)
+    lit_a = jnp.maximum(ambient[3:4], shaded_a)
 
-    unlit = _flag(mflags, MF.UNLIT)[:, None]
-    out_rgb = jnp.where(unlit, albedo[:, :3], lit_rgb)
-    out_a = jnp.where(unlit, albedo[:, 3:4], lit_a)
+    unlit = fl(MF.UNLIT)
+    out_rgb = jnp.where(unlit, albedo[:3], lit_rgb)
+    out_a = jnp.where(unlit, albedo[3:4], lit_a)
     return out_rgb, out_a
 
 
@@ -647,8 +709,9 @@ def albedo_alpha(mdata, mflags, vcol, tex_a):
     """Alpha channel of get_pixel_data's albedo (opaque.wgsl
     get_pixel_data_inner) for the cutout discard (depth.wgsl:105-124,
     opaque.wgsl:231): texture alpha x vertex-color alpha (when blended) x
-    factor alpha. tex_a: sampled albedo texture alpha (N,) or None."""
-    a = jnp.ones_like(vcol[:, 3]) if tex_a is None else tex_a
-    a = jnp.where(_flag(mflags, MF.ALBEDO_BLEND), a * vcol[:, 3], a)
+    factor alpha. PLANAR: mdata (D, N), vcol (4, N), tex_a sampled albedo
+    texture alpha (N,) or None; returns (N,)."""
+    a = jnp.ones_like(vcol[3]) if tex_a is None else tex_a
+    a = jnp.where(_flag(mflags, MF.ALBEDO_BLEND), a * vcol[3], a)
     a = jnp.where(_flag(mflags, MF.ALBEDO_ACTIVE), a, 1.0)
-    return a * mdata[:, PBR_ALBEDO + 3]
+    return a * mdata[PBR_ALBEDO + 3]

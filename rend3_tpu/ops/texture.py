@@ -415,9 +415,10 @@ def sample_cube(cube: CubeArrays, slot: int, dirs: jnp.ndarray) -> jnp.ndarray:
 
 def sample_textures_grid(
     tex: TextureArrays,
-    mtex: jnp.ndarray,        # (N, NSLOT) 1-based texture ids per pixel
-    coords: jnp.ndarray,      # (N, 2) uv (post material transform)
-    duv,                      # (N, 2, 2) uv screen gradients or None
+    mtex: jnp.ndarray,        # (N, NSLOT) — or (NSLOT, N) when planar=True
+    coords: jnp.ndarray,      # (N, 2) uv — or (2, N) when planar=True
+    duv,                      # (N, 2, 2) uv screen gradients — or (4, N)
+                              # rows [du/dx, dv/dx, du/dy, dv/dy] — or None
     mflags: jnp.ndarray,      # (N,) material flags
     hw,                       # (H, W) pixel layout of the flat N axis
     active_slots,             # static tuple of slot indices to sample
@@ -427,6 +428,7 @@ def sample_textures_grid(
     hit: jnp.ndarray = None,  # optional (N,) bool: only sample hit pixels
     dot_dtype=None,           # MXU dtype override (default TEX_DOT_DTYPE)
     queue_cap: int = None,    # adaptive sampler step-queue size
+    planar: bool = False,     # channels-first in/out (TPU lane-friendly)
 ):
     """Deferred-path textureSampleGrad for (H, W)-organized pixels through
     the MXU bilinear gather (mxu_gather.sample_grid_bilinear).
@@ -435,42 +437,59 @@ def sample_textures_grid(
     row-wise into ONE sampler call; the mip lerp weights ride in the
     per-query weight plane so the two returned mip samples just add.
     Returns (samples, overflow, qtotal): samples is a list of NSLOT
-    entries, (N, 4) for active slots and None for inactive ones (callers
-    treat None as "slot never present this frame"); qtotal is the raw
-    sampler step count (adaptive queue_cap sizing).
+    entries, (N, 4) — (4, N) when planar=True — for active slots and None
+    for inactive ones (callers treat None as "slot never present this
+    frame"); qtotal is the raw sampler step count (adaptive queue_cap
+    sizing). Internals are planar either way: per-pixel rect/mip tables
+    ride (rows, N) so nothing pads the 128-lane minor dimension.
     """
     from .shade import MF  # local import to avoid cycle
     from . import mxu_gather as mg
 
     H, W = hw
-    N = H * W
     S = tex.rects.shape[0]
     rects_flat = tex.rects.reshape(S, MAX_MIPS * 4)
 
-    u, v = coords[:, 0], coords[:, 1]
+    if not planar:
+        N = mtex.shape[0]
+        mtex = mtex.T
+        coords = coords.T
+        duv = None if duv is None else duv.reshape(N, 4).T
+    N = H * W
+
+    u, v = coords[0], coords[1]
     uu = u - jnp.floor(u)
     vv = v - jnp.floor(v)
     nearest = (mflags & MF.NEAREST) != 0
 
     q_bx, q_by, q_fx, q_fy, q_wt, q_valid = [], [], [], [], [], []
     for q in active_slots:
-        slv = mtex[:, q]
+        slv = mtex[q]
         s = jnp.clip(slv, 0, S - 1)
-        oh = jax.nn.one_hot(s, S, dtype=jnp.float32)                  # (N, S)
+        oh = jax.nn.one_hot(s, S, dtype=jnp.float32, axis=0)          # (S, N)
         rect_all = jax.lax.dot_general(
-            oh, rects_flat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            rects_flat, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(N, MAX_MIPS, 4)
+        )                                                             # (M4, N)
         nmips = jnp.maximum(
-            jnp.round(oh @ tex.mip_counts.astype(jnp.float32)), 1.0
+            jnp.round(
+                jax.lax.dot_general(
+                    tex.mip_counts.astype(jnp.float32)[None, :], oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[0]
+            ),
+            1.0,
         )                                                             # (N,) f32
 
         if duv is not None:
-            tw, th = rect_all[:, 0, 2], rect_all[:, 0, 3]
-            dx = duv[:, 0] * jnp.stack([tw, th], -1)
-            dy = duv[:, 1] * jnp.stack([tw, th], -1)
-            rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
+            tw, th = rect_all[2], rect_all[3]
+            dxu, dxv = duv[0] * tw, duv[1] * th
+            dyu, dyv = duv[2] * tw, duv[3] * th
+            rho = jnp.maximum(
+                jnp.sqrt(dxu * dxu + dxv * dxv), jnp.sqrt(dyu * dyu + dyv * dyv)
+            )
             lam = jnp.clip(jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, nmips - 1.0)
         else:
             lam = jnp.zeros(N, jnp.float32)
@@ -481,9 +500,9 @@ def sample_textures_grid(
         l1i = jnp.minimum(l0i + 1, (nmips - 1.0).astype(jnp.int32))
 
         def pick(li):
-            out = rect_all[:, 0]
+            out = rect_all[0:4]
             for lv in range(1, MAX_MIPS):
-                out = jnp.where((li == lv)[:, None], rect_all[:, lv], out)
+                out = jnp.where((li == lv)[None, :], rect_all[4 * lv : 4 * lv + 4], out)
             return out
 
         valid0 = (slv > 0) if hit is None else ((slv > 0) & hit)
@@ -494,7 +513,7 @@ def sample_textures_grid(
             )
         ):
             r = pick(li)
-            rx, ry, rw, rh = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+            rx, ry, rw, rh = r[0], r[1], r[2], r[3]
             # linear: floor tap of uu*rw - 0.5 (may be -1 -> left gutter)
             xf = uu * rw - 0.5
             yf = vv * rh - 0.5
@@ -532,6 +551,7 @@ def sample_textures_grid(
 
     samples = [None] * NSLOT
     for i, q in enumerate(active_slots):
-        res = (out[:, 2 * i] + out[:, 2 * i + 1]).reshape(4, N).T   # (N, 4)
-        samples[q] = jnp.where((mtex[:, q] > 0)[:, None], res, 1.0)
+        res = (out[:, 2 * i] + out[:, 2 * i + 1]).reshape(4, N)     # (4, N)
+        res = jnp.where((mtex[q] > 0)[None, :], res, 1.0)
+        samples[q] = res if planar else res.T
     return samples, overflow, qtotal

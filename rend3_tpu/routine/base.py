@@ -1738,21 +1738,28 @@ class BaseRenderGraph:
                     return jnp.stack([g.data[def_ops.G_DEPTH] for g in flat_blend_gbufs]) if flat_blend_gbufs else gbufs_p[0].data[def_ops.G_DEPTH]
 
                 if plan and _DEBUG_STOP_AFTER == "scoords":
+                    # Sparse blend pseudo-images differ in shape from the
+                    # opaque G-buffers; reduce each entry to a scalar so the
+                    # prefix program keeps every coord computation live.
                     coords_dbg = [shadow_coords_for(g) for g in gbufs_p + flat_blend_gbufs]
                     return jnp.stack(
-                        [sx + sy + ref for per in coords_dbg for (k, sx, sy, ref, ib, hq) in per]
+                        [(sx + sy + ref).sum() for per in coords_dbg for (k, sx, sy, ref, ib, hq) in per]
                     )
                 if plan and _DEBUG_STOP_AFTER == "gather":
+                    # Mirror resolve_shadow_values' fused-PCF launch (the
+                    # real path) so the prefix timing covers the gather.
                     coords_dbg = [shadow_coords_for(g) for g in gbufs_p + flat_blend_gbufs]
                     entries_dbg = [
-                        (k, sx, sy, hq)
+                        (k, sx, sy, ref, hq)
                         for per in coords_dbg
                         for (k, sx, sy, ref, ib, hq) in per
                     ]
-                    occs_dbg, _sovf = shadow_ops.sample_shadow_maps(
-                        smaps, entries_dbg, pair_cap=shadow_pair_cap, interpret=interp,
+                    occs_dbg, _sovf, _q = shadow_ops.resolve_shadow_pcf5(
+                        smaps, entries_dbg, pair_cap=shadow_pair_cap,
+                        interpret=interp, queue_cap=q_pcf,
+                        prestacked=(smaps_pre if len(smaps_pre) else None),
                     )
-                    return jnp.stack(occs_dbg)
+                    return jnp.stack([o.sum() for o in occs_dbg])
                 if plan:
                     # One stacked gather launch covers every (sample, peel)
                     # G-buffer: opaque per sample first, then blend peels.
@@ -2161,12 +2168,14 @@ def _shade_blend_tri(
     vcol = b @ gather(geo.color0, 5, jnp.ones(4))
 
     midx = material_slots[obj]
-    mdata = jnp.broadcast_to(materials.data[midx], (N, materials.data.shape[1]))
+    # _shade_pixels is planar (channels-first); one material broadcasts
+    # along the pixel lane axis for free.
+    mdata = jnp.broadcast_to(materials.data[midx][:, None], (materials.data.shape[1], N))
     mflags = jnp.broadcast_to(materials.flags[midx], (N,))
-    mtex = jnp.broadcast_to(materials.textures[midx], (N, materials.textures.shape[1])) if textures is not None else None
+    mtex = jnp.broadcast_to(materials.textures[midx][:, None], (materials.textures.shape[1], N)) if textures is not None else None
 
     out_rgb, out_a = shade_ops._shade_pixels(
-        mdata, mflags, mtex, textures, uv0, None, vcol, nrm, tan, view_pos,
+        mdata, mflags, mtex, textures, uv0.T, None, vcol.T, nrm.T, tan.T, view_pos.T,
         dir_lights, point_lights, shadow_atlas, uniforms,
     )
-    return jnp.concatenate([out_rgb, out_a], axis=-1).reshape(S, H, W, 4)
+    return jnp.concatenate([out_rgb, out_a], axis=0).T.reshape(S, H, W, 4)
