@@ -510,10 +510,22 @@ def raster_resolve_packed(
     bound: jnp.ndarray = None,
     interpret: bool = False,
     sofs: Tuple[float, float] = (0.5, 0.5),
-) -> Tuple[GBuffer, jnp.ndarray]:
+    count_floor: jnp.ndarray = None,
+    count_strict: bool = False,
+):
     """Launch the fused raster+resolve kernel over pre-packed tables (see
     pack_raster): depth peels and MSAA samples re-launch with a different
-    bound / sofs without re-paying the packing pre-pass."""
+    bound / sofs without re-paying the packing pre-pass.
+
+    count_floor: optional (H, W) reverse-Z depth floor. When given, the
+    kernel ALSO counts, per pixel, every covered fragment at z >= floor
+    (z > floor when count_strict) — the exact per-pixel depth-peel layer
+    count in one pass (pass the opaque depth, -1.0 where no opaque hit).
+    Capacity-INDEPENDENT, so the adaptive peel controllers converge
+    one-shot instead of probing one layer past capacity per recompile
+    (which oscillated at capacity == true depth). Returns
+    (GBuffer, overflow, counts (H, W) f32) — or (GBuffer, overflow)
+    without count_floor."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -525,20 +537,30 @@ def raster_resolve_packed(
     y0arr = jnp.full((1,), y0, jnp.int32)
 
     npb = BAND_H * DTILE_W
-    if bound is not None:
-        # Depth-peeling support (cutout): per-pixel exclusive upper bound,
-        # pre-flattened to the kernel's (tile, band, band-pixels) layout.
-        bound_t = (
-            bound.reshape(n_rows, N_BANDS, BAND_H, n_cols, DTILE_W)
+
+    def tile_layout(img):
+        return (
+            img.reshape(n_rows, N_BANDS, BAND_H, n_cols, DTILE_W)
             .transpose(0, 3, 1, 2, 4)
             .reshape(n_tiles, N_BANDS, npb)
         )
 
+    if bound is not None:
+        # Depth-peeling support (cutout): per-pixel exclusive upper bound,
+        # pre-flattened to the kernel's (tile, band, band-pixels) layout.
+        bound_t = tile_layout(bound)
+    if count_floor is not None:
+        floor_t = tile_layout(count_floor)
+
     def kernel(y0_ref, st_ref, sk_ref, sc_ref, cb_ref, nc_ref, meta_ref, bset_ref, bpl_ref, *rest):
-        if bound is not None:
-            bnd_ref, out_ref, depth_ref, win_ref, coef_ref = rest
+        rest = list(rest)
+        bnd_ref = rest.pop(0) if bound is not None else None
+        flr_ref = rest.pop(0) if count_floor is not None else None
+        if count_floor is not None:
+            out_ref, cnt_out_ref, depth_ref, win_ref, coef_ref, cnt_ref = rest
         else:
             out_ref, depth_ref, win_ref, coef_ref = rest
+            cnt_out_ref = cnt_ref = None
         s = pl.program_id(0)
         i = st_ref[s]
         kind = sk_ref[s]
@@ -555,6 +577,8 @@ def raster_resolve_packed(
             depth_ref[...] = jnp.zeros((N_BANDS, npb), jnp.float32)
             win_ref[...] = jnp.full((N_BANDS, npb), -1, jnp.int32)
             coef_ref[...] = jnp.zeros((N_BANDS, PLANES_W, npb), jnp.float32)
+            if cnt_ref is not None:
+                cnt_ref[...] = jnp.zeros((N_BANDS, npb), jnp.float32)
 
         @pl.when(kind == 0)
         def _phase_a():
@@ -584,6 +608,12 @@ def raster_resolve_packed(
                             c2 = (e2 > 0.0) | ((e2 == 0.0) & (cf(S_TL2) > 0.0))
                             z = cf(S_ZA) * pxf + cf(S_ZB) * pyf + cf(S_ZC)
                             cov = c0 & c1 & c2 & (z >= 0.0) & (z <= 1.0) & valid
+                            if cnt_ref is not None:
+                                flr = flr_ref[0][b : b + 1, :]
+                                above = (z > flr) if count_strict else (z >= flr)
+                                cnt_ref[b : b + 1, :] = cnt_ref[b : b + 1, :] + (
+                                    cov & above
+                                ).astype(jnp.float32).sum(axis=0, keepdims=True)
                             if bound is not None:
                                 cov = cov & (z < bnd_ref[0][b : b + 1, :])
                             zm = jnp.where(cov, z, -1.0)              # (GROUP, npb)
@@ -632,6 +662,8 @@ def raster_resolve_packed(
             # zero planes) — exactly what the occupied path produces from
             # zero-initialized scratch with no covering triangles.
             out_ref[0] = jnp.zeros((GB_CH, DTILE_H, DTILE_W), jnp.float32)
+            if cnt_out_ref is not None:
+                cnt_out_ref[0] = jnp.zeros((DTILE_H, DTILE_W), jnp.float32)
 
         @pl.when((kind == 2) & (nc_ref[i] > 0))
         def _final():
@@ -683,6 +715,10 @@ def raster_resolve_packed(
                 out_ref[0, :, pl.ds(b * BAND_H, BAND_H), :] = out.reshape(
                     GB_CH, BAND_H, DTILE_W
                 )
+                if cnt_out_ref is not None:
+                    cnt_out_ref[0, pl.ds(b * BAND_H, BAND_H), :] = cnt_ref[
+                        b : b + 1, :
+                    ].reshape(BAND_H, DTILE_W)
 
     in_specs = [
         pl.BlockSpec(
@@ -700,27 +736,56 @@ def raster_resolve_packed(
             pl.BlockSpec((1, N_BANDS, npb), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0))
         )
         inputs.append(bound_t)
+    if count_floor is not None:
+        in_specs.append(
+            pl.BlockSpec((1, N_BANDS, npb), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0))
+        )
+        inputs.append(floor_t)
+    out_specs = pl.BlockSpec(
+        (1, GB_CH, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0, 0)
+    )
+    out_shape = jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32)
+    scratch = [
+        pltpu.VMEM((N_BANDS, npb), jnp.float32),
+        pltpu.VMEM((N_BANDS, npb), jnp.int32),
+        pltpu.VMEM((N_BANDS, PLANES_W, npb), jnp.float32),
+    ]
+    if count_floor is not None:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(
+                (1, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0)
+            ),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((n_tiles, DTILE_H, DTILE_W), jnp.float32),
+        )
+        scratch.append(pltpu.VMEM((N_BANDS, npb), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(S,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, GB_CH, DTILE_H, DTILE_W), lambda s, y0r, st, sk, sc, cb, nc, mt: (st[s], 0, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((N_BANDS, npb), jnp.float32),
-            pltpu.VMEM((N_BANDS, npb), jnp.int32),
-            pltpu.VMEM((N_BANDS, PLANES_W, npb), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
 
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, GB_CH, DTILE_H, DTILE_W), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(y0arr, st, sk, sc, flat.chunk_base, flat.n_chunks, flat.group_meta, *inputs)
 
+    if count_floor is not None:
+        tiles, cnt_tiles = tiles
     data = tiles.reshape(n_rows, n_cols, GB_CH, DTILE_H, DTILE_W)
     data = data.transpose(2, 0, 3, 1, 4).reshape(GB_CH, height, width)
+    if count_floor is not None:
+        counts = (
+            cnt_tiles.reshape(n_rows, n_cols, DTILE_H, DTILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(height, width)
+        )
+        return GBuffer(data=data), flat.overflow, counts
     return GBuffer(data=data), flat.overflow

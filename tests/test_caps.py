@@ -183,11 +183,12 @@ def test_one_shot_cap_growth_keeps_program_cache_small():
 
 def test_blend_peel_count_converges():
     """Peel capacity tracks the true layer depth (VERDICT r4 weak #3): a
-    single visible glass quad must HOLD blend_peels == 2 — the r4 counter
-    accumulated hits across ALL peels so any blend pixel ratcheted the cap
-    2->4->8->16 inside one render_frame (three whole-frame recompiles, then
-    8x blend work forever). Five stacked panes must converge to the pow2
-    bucket of the needed count (5 layers -> 8) and then hold."""
+    single visible glass quad must settle at blend_peels == 1 — the r4
+    counter accumulated hits across ALL peels so any blend pixel ratcheted
+    the cap 2->4->8->16 inside one render_frame (three whole-frame
+    recompiles, then 8x blend work forever). Five stacked panes must
+    converge to EXACTLY the needed count (grow by pow2 for fast discovery,
+    then shrink to the exact need: 5 layers -> 8 -> 5) and then hold."""
     from rend3_tpu.routine.pbr.material import (
         AlbedoComponent, PbrMaterial, Transparency,
     )
@@ -223,18 +224,95 @@ def test_blend_peel_count_converges():
 
     img = runner.render_frame(settings)
     assert img[..., :3].max() > 0
-    assert graph._caps.get("blend_peels", 2) == 2, graph._caps
+    # One layer: the default 2 shrinks to the exact need (a surplus peel is
+    # a full raster + shade per frame; peel programs are cached so
+    # view-dependent flicker costs no re-trace).
+    assert graph._caps.get("blend_peels", 2) == 1, graph._caps
 
     # Four more panes stacked behind the first: 5 blend layers per pixel in
     # the overlap. render_frame's internal loop must converge (grow is
-    # one-shot per measurement: 2 -> 4 -> 8, then need=5 holds at 8).
+    # one-shot pow2 per measurement: 1 -> 2 -> 4 -> 8, then need=5 shrinks
+    # to exactly 5).
     for i in range(1, 5):
         keep.append(r.add_object(Object(
             mesh_kind=StaticMeshKind(quad), material=glass,
             transform=m3.translation([0.0, 0.3, -0.5 - 0.12 * i]) @ m3.scale(0.4),
         )))
     runner.render_frame(settings)
-    assert graph._caps["blend_peels"] == 8, graph._caps
+    assert graph._caps["blend_peels"] == 5, graph._caps
     runner.render_frame(settings)
-    assert graph._caps["blend_peels"] == 8, graph._caps
+    assert graph._caps["blend_peels"] == 5, graph._caps
+    del keep
+
+
+def test_cutout_peel_count_converges_and_is_exact():
+    """Cutout depth peeling adapts to the true alpha-failed layer depth
+    (aux 21): two fully alpha-failing cutout quads in front of a PASSING red
+    cutout quad must converge cut_peels to exactly 3 AND show the red quad
+    (the old fixed-2 loop silently dropped the third layer, shading the
+    ground instead); afterwards the count holds. Reference: the per-fragment
+    discard raster is exact at any depth (depth.wgsl:105-124)."""
+    from rend3_tpu.routine.pbr.material import (
+        AlbedoComponent, PbrMaterial, Transparency,
+    )
+    from rend3_tpu.types import (
+        Camera, Handedness, MeshBuilder, MipmapCount, Object, Orthographic,
+        StaticMeshKind, Texture, TextureFormat,
+    )
+
+    runner = TestRunner()
+    r = runner.renderer
+    keep = [runner.add_directional_light(np.array([0.0, -1.0, 0.5], np.float32))]
+    mat_bg = runner.add_lit_material([0.0, 0.0, 1.0, 1.0])  # blue backdrop
+    keep += [mat_bg, runner.plane(mat_bg, m3.translation([0.0, 0.0, 1.0]))]
+
+    def cut_tex(alpha):
+        data = np.zeros((8, 8, 4), np.uint8)
+        data[..., 0] = 255
+        data[..., 3] = alpha
+        return r.add_texture_2d(Texture(
+            label=f"a{alpha}", data=data,
+            format=TextureFormat.RGBA8_UNORM_SRGB, mip_count=MipmapCount.ONE,
+        ))
+
+    t_fail, t_pass = cut_tex(0), cut_tex(255)
+    m_fail = r.add_material(PbrMaterial(
+        albedo=AlbedoComponent.new_texture(t_fail),
+        transparency=Transparency.cutout_at(0.5),
+    ))
+    m_pass = r.add_material(PbrMaterial(
+        albedo=AlbedoComponent.new_texture(t_pass),
+        transparency=Transparency.cutout_at(0.5),
+    ))
+    quad_v = np.array([[-1, 1, 0], [1, 1, 0], [1, -1, 0], [-1, -1, 0]], np.float32)
+    quad_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    quad_i = np.array([0, 1, 2, 2, 3, 0], np.uint32)
+    quad = r.add_mesh(
+        MeshBuilder(quad_v, Handedness.LEFT)
+        .with_vertex_uv0(quad_uv).with_indices(quad_i).build()
+    )
+    keep += [t_fail, t_pass, m_fail, m_pass, quad]
+    # Camera sits at -z looking +z (the winding every other scene uses);
+    # front-to-back = most-negative z first: two failing layers, then the
+    # passing red one, with the blue backdrop behind everything.
+    for z, m in ((-1.0, m_fail), (-0.6, m_fail), (-0.2, m_pass)):
+        keep.append(r.add_object(Object(
+            mesh_kind=StaticMeshKind(quad), material=m,
+            transform=m3.translation([0.0, 0.0, z]),
+        )))
+    runner.set_camera_data(Camera(
+        projection=Orthographic(size=np.array([2.5, 2.5, 8.0], np.float32)),
+        view=m3.look_at_lh([0.0, 0.0, -2.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+    ))
+    settings = FrameRenderSettings(size=64)
+    graph = runner.base_graph
+
+    img = runner.render_frame(settings)
+    assert graph._caps["cut_peels"] == 3, graph._caps
+    # The red PASSING quad (layer 3) must shade the center pixel, not the
+    # blue ground behind it.
+    c = img[32, 32].astype(np.int32)
+    assert c[0] > c[2] + 30, img[32, 32]
+    runner.render_frame(settings)
+    assert graph._caps["cut_peels"] == 3, graph._caps
     del keep
